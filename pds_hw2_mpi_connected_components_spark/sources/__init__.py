@@ -1,0 +1,3 @@
+from .datagen import generate_pages, pages_schema  # noqa: F401
+from .extract import extract_page, extract_links_df  # noqa: F401
+from .graph_build import build_graph  # noqa: F401

@@ -1,0 +1,122 @@
+"""PageRank vs dense numpy power-iteration oracle (allclose 1e-6), including
+dangling vertices; label propagation determinism; triangle fixtures."""
+
+import numpy as np
+import pytest
+
+from pds_hw2_mpi_connected_components_spark.operators.labelprop import label_propagation
+from pds_hw2_mpi_connected_components_spark.operators.pagerank import pagerank
+from pds_hw2_mpi_connected_components_spark.operators.triangles import triangle_count
+from pds_hw2_mpi_connected_components_spark.sources.graph_build import symmetrize
+from tests.conftest import make_edges
+
+
+def numpy_pagerank(n, pairs, alpha=0.85, iters=200):
+    """Dense oracle: uniform teleport + uniform dangling redistribution."""
+    out_deg = np.zeros(n)
+    for a, b in pairs:
+        out_deg[a] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for a, b in pairs:
+            contrib[b] += r[a] / out_deg[a]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - alpha) / n + alpha * (contrib + dangling / n)
+    return r
+
+
+CASES = {
+    "cycle6": (6, [(i, (i + 1) % 6) for i in range(6)]),
+    "star_out": (6, [(0, k) for k in range(1, 6)]),          # hub fan-out
+    "star_in_dangling": (6, [(k, 0) for k in range(1, 6)]),  # 0 is dangling
+    "two_islands": (6, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_pagerank_vs_numpy(spark, name):
+    n, pairs = CASES[name]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "vid long")
+    ranks, metrics = pagerank(make_edges(spark, pairs), vertices=vertices, tol=1e-10)
+    got = np.zeros(n)
+    for r in ranks.collect():
+        got[r["vid"]] = r["rank"]
+    want = numpy_pagerank(n, pairs)
+    assert np.allclose(got, want, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_cycle_uniform(spark):
+    n = 6
+    ranks, _ = pagerank(make_edges(spark, CASES["cycle6"][1]), tol=1e-12)
+    for r in ranks.collect():
+        assert abs(r["rank"] - 1.0 / n) < 1e-9
+
+
+def test_pagerank_salted_matches_plain(spark):
+    n, pairs = CASES["star_in_dangling"]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "vid long")
+    plain, _ = pagerank(make_edges(spark, pairs), vertices=vertices, tol=1e-10)
+    salted, _ = pagerank(make_edges(spark, pairs), vertices=vertices, tol=1e-10,
+                         salt_buckets=4)
+    a = {r["vid"]: r["rank"] for r in plain.collect()}
+    b = {r["vid"]: r["rank"] for r in salted.collect()}
+    assert all(abs(a[v] - b[v]) < 1e-12 for v in a)
+
+
+def test_labelprop_two_cliques(spark):
+    # two K4s joined by a bridge: LP should find 2 communities (labels = min id)
+    pairs = (
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+        + [(3, 4)]
+    )
+    sym = symmetrize(make_edges(spark, pairs))
+    labels, metrics = label_propagation(sym, max_iter=10)
+    got = {r["vid"]: r["label"] for r in labels.collect()}
+    assert set(got[v] for v in range(4)) == {0}
+    assert set(got[v] for v in range(4, 8)) == {4}
+    # determinism: rerun gives identical labels
+    labels2, _ = label_propagation(sym, max_iter=10)
+    assert got == {r["vid"]: r["label"] for r in labels2.collect()}
+
+
+TRI_CASES = {
+    "path5": ([(0, 1), (1, 2), (2, 3), (3, 4)], 0),
+    "two_cliques_bridge": (
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+        + [(3, 4)],
+        8,
+    ),
+    "two_islands": ([(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)], 2),
+    "star_hub": ([(0, k) for k in range(1, 51)], 0),
+    "cycle6": ([(i, (i + 1) % 6) for i in range(6)], 0),
+    "k5": ([(a, b) for a in range(5) for b in range(a + 1, 5)], 10),
+    "dup_and_reversed": ([(0, 1), (1, 0), (1, 2), (2, 0), (0, 2)], 1),
+}
+
+
+@pytest.mark.parametrize("name", sorted(TRI_CASES))
+def test_triangles(spark, name):
+    pairs, want = TRI_CASES[name]
+    assert triangle_count(make_edges(spark, pairs)) == want
+
+
+def test_triangles_random_vs_oracle(spark):
+    import itertools
+    import random
+
+    rng = random.Random(13)
+    n = 40
+    pairs = {(a, b) for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(200)) if a != b}
+    adj = {i: set() for i in range(n)}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = sum(
+        1 for a, b, c in itertools.combinations(range(n), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    assert triangle_count(make_edges(spark, list(pairs))) == want
