@@ -1,0 +1,148 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five tiers, cheapest first (all DataFrame-native; no per-row Python):
+
+- exact: hash-groupBy on a normalized md5 fingerprint. One shuffle.
+- ngram/token Jaccard (exact): token-set overlap join within a blocking
+  key — quadratic only inside blocks.
+- MinHash + LSH: k portable universal hashes over token hashes, banded into
+  LSH buckets; candidate pairs = bucket collisions. Scales to 10^12 docs
+  (shuffle is O(docs * bands), never O(docs^2)).
+- SimHash: sign-sum over token-hash bits; near-dups = small Hamming
+  distance within blocking buckets.
+- embedding cosine near-dup: see operators/similarity.py.
+
+All hashing uses the portable md5-based token hash (functions/text.py)
+so every operator here is verifiable against a DuckDB SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5, portable_token_hash
+
+P = 2147483647  # Mersenne prime 2^31-1; universal-hash modulus
+
+# (a_i, b_i) parameters for the k minhash functions — fixed, documented,
+# mirrored literally in the SQL oracle.
+MINHASH_PARAMS = [
+    (1299721, 15487469), (2750161, 32452843), (4256233, 49979687),
+    (5800079, 67867967), (7368787, 86028121), (8960453, 104395301),
+    (10570841, 122949823), (12195257, 141650939),
+]
+
+
+def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, tok) distinct non-empty whitespace tokens per document."""
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text_hash, n_docs, min_doc): one row per distinct normalized text.
+    n_docs > 1 rows are the duplicate groups."""
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  fingerprint_md5(F.coalesce(F.col(text_col), F.lit(""))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("min_doc"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    block_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-set Jaccard over pairs sharing a blocking key.
+
+    (a, b, jac_r) with a < b and round(jaccard,4) >= threshold. The blocking
+    key bounds the pair space (at web scale the block is an LSH bucket; here
+    the `source` column plays that role so the oracle stays cheap)."""
+    toks = tokens(df, id_col, text_col)
+    blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
+    t = toks.join(blocks, "id")
+    sizes = t.groupBy("id").agg(F.count("*").alias("sz"))
+    pairs = (
+        t.alias("x").join(t.alias("y"),
+                          (F.col("x.tok") == F.col("y.tok"))
+                          & (F.col("x.blk") == F.col("y.blk"))
+                          & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sa"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sb"), "b")
+        .select(
+            "a", "b",
+            F.round(F.col("inter").cast("double")
+                    / (F.col("sa") + F.col("sb") - F.col("inter")).cast("double"), 4).alias("jac_r"),
+        )
+        .where(F.col("jac_r") >= threshold)
+        .select("a", "b", "jac_r")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, i, mh): minhash value for each of the k hash functions."""
+    toks = tokens(df, id_col, text_col).withColumn("h", portable_token_hash(F.col("tok"), P))
+    params = toks.sparkSession.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PARAMS)], "i int, a long, b long"
+    )
+    return (
+        toks.crossJoin(F.broadcast(params))
+        .groupBy("id", "i")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % F.lit(P)).alias("mh"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, rows_per_band: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(a, b) candidate near-duplicate pairs: docs sharing at least one LSH
+    band (band = concatenated minhashes of `rows_per_band` consecutive hash
+    functions). Never materializes the O(n^2) pair space."""
+    sig = minhash_signatures(df, id_col, text_col)
+    bands = (
+        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list(
+            F.format_string("%d:%d", F.col("i"), F.col("mh"))))).alias("bkey"))
+    )
+    return (
+        bands.alias("x").join(bands.alias("y"),
+                              (F.col("x.band") == F.col("y.band"))
+                              & (F.col("x.bkey") == F.col("y.bkey"))
+                              & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash): sign-sum fingerprint over the low `bits` bits of the
+    portable token hash. Near-dups have small Hamming distance."""
+    toks = tokens(df, id_col, text_col).withColumn("h", portable_token_hash(F.col("tok"), P))
+    bit_rows = toks.sparkSession.range(bits).select(F.col("id").cast("int").alias("bit"))
+    contrib = (
+        toks.crossJoin(F.broadcast(bit_rows))
+        .select("id", "bit",
+                F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("s"))
+        .groupBy("id", "bit")
+        .agg(F.sum("s").alias("tot"))
+    )
+    return (
+        contrib.select("id", F.when(F.col("tot") > 0, F.expr("shiftleft(cast(1 as bigint), bit)"))
+                       .otherwise(F.lit(0).cast("bigint")).alias("bitval"))
+        .groupBy("id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )

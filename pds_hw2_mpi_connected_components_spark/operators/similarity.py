@@ -1,0 +1,123 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the exact baseline. All scoring happens in
+  JVM-side higher-order functions (zip_with/aggregate) — no Python.
+- LSH-bucketed ANN (random-hyperplane signs): the scale path. Hyperplanes
+  are derived deterministically from (dim, plane) via an integer hash, so
+  signatures are reproducible with no stored model. Candidates = bucket
+  collisions; exact re-scoring only within buckets.
+- embedding near-duplicate pairs: cosine >= threshold within LSH buckets.
+
+At 10^12 rows the brute-force path is a cross join — only for small query
+sets; the LSH path shuffles O(n * tables) rows instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, rank, sim_r). Deterministic
+    ordering: (round(sim,4) desc, neighbor_id asc). ``queries``/``candidates``
+    must have (id, embedding) columns aliased appropriately."""
+    q = queries.select(F.col("id").alias(query_id), F.col("embedding").alias("qe"))
+    c = candidates.select(F.col("id").alias(cand_id), F.col("embedding").alias("ce"))
+    # few queries x all candidates: broadcast the small query side
+    scored = F.broadcast(q).crossJoin(c).select(
+        query_id, cand_id,
+        F.round(cosine_similarity(F.col("qe"), F.col("ce")), 4).alias("sim_r"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("sim_r").desc(), F.col(cand_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id, cand_id, "rank", "sim_r")
+    )
+
+
+def _hyperplane(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes in {-1,+1}^dim (sign LSH)."""
+    idx = np.arange(dim * n_planes, dtype=np.uint64).reshape(n_planes, dim)
+    z = (idx + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
+    z ^= z >> np.uint64(29)
+    z = z * np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(32)
+    return np.where((z & np.uint64(1)).astype(bool), 1.0, -1.0)
+
+
+def lsh_signatures(
+    emb: DataFrame, n_planes: int = 16, seed: int = 7, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, bucket): random-hyperplane sign signature packed into a long.
+    Vectorized pandas UDF (Arrow batches, numpy matmul per batch)."""
+    dim = len(emb.select("embedding").first()["embedding"])
+    planes = _hyperplane(dim, n_planes, seed)
+    weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def bucket_of(v: pd.Series) -> pd.Series:
+        m = np.stack(v.apply(np.asarray, dtype=np.float64))
+        signs = (m @ planes.T) > 0
+        return pd.Series((signs.astype(np.uint64) @ weights).astype(np.int64))
+
+    return emb.select(F.col(id_col).alias("id"), bucket_of("embedding").alias("bucket"))
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's LSH bucket.
+    Returns (query_id, neighbor_id, rank, sim_r); recall measured in tests
+    against cosine_topk."""
+    sig = lsh_signatures(emb, n_planes, seed, id_col)
+    base = emb.select(F.col(id_col).alias("id"), "embedding").join(sig, "id")
+    q = (
+        queries.select(F.col(id_col).alias("qid"))
+        .join(base.withColumnRenamed("id", "qid"), "qid")
+        .select("qid", F.col("embedding").alias("qe"), "bucket")
+    )
+    c = base.select(F.col("id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket")
+    scored = q.join(c, "bucket").select(
+        F.col("qid").alias("query_id"), "neighbor_id",
+        F.round(cosine_similarity(F.col("qe"), F.col("ce")), 4).alias("sim_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim_r").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95, n_planes: int = 12, seed: int = 7,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(a, b, sim_r) pairs with cosine >= threshold, candidate-limited to
+    LSH bucket collisions (near-identical vectors collide with high prob)."""
+    sig = lsh_signatures(emb, n_planes, seed, id_col)
+    base = emb.select(F.col(id_col).alias("id"), "embedding").join(sig, "id")
+    x = base.select(F.col("id").alias("a"), F.col("embedding").alias("ea"), "bucket")
+    y = base.select(F.col("id").alias("b"), F.col("embedding").alias("eb"), "bucket")
+    return (
+        x.join(y, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine_similarity(F.col("ea"), F.col("eb")), 4).alias("sim_r"))
+        .where(F.col("sim_r") >= threshold)
+    )
