@@ -1,0 +1,124 @@
+"""Per-round benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Mirrors the reference's benchmark protocol (/root/reference/src/benchmark.c:
+242-321): each leg is timed around its terminal action (stage barriers =
+MPI barriers), and CC throughput is reported as edges/sec (reference
+definition: nnz / mean_time, benchmark.c:308 — our nnz = deduped directed
+edge count of the symmetrized graph, documented in BASELINE.md).
+
+The scaling-efficiency evidence (same job at local[8] vs local[32]) lives in
+tools/bench_scaling.py -> BENCH/BASELINE.md; this file is the per-round
+fixed-parallelism probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pds_hw2_mpi_connected_components_spark.operators.cc import connected_components, cc_count  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.operators.dedup import exact_duplicates, minhash_signatures  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.operators.degrees import degree_table  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.operators.labelprop import label_propagation  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.operators.pagerank import pagerank  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.operators.similarity import cosine_topk  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.operators.triangles import triangle_count  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.plans.session import get_spark  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.sources.datagen import generate_pages  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.sources.doc_edges import (  # noqa: E402
+    doc_edges_blocked,
+    doc_edges_global,
+    doc_vertices,
+)
+from pds_hw2_mpi_connected_components_spark.sources.graph_build import build_graph, symmetrize  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(master=f"local[{cpus}]", app_name="bench",
+                      shuffle_partitions=max(8, cpus))
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # -- flagship end-to-end: pages -> extract -> graph -> CC ------------
+    n_pages = 30_000
+    pages = generate_pages(spark, n_pages, n_components=16, num_partitions=cpus)
+    pages = timed("pipeline_pages_materialize", lambda: pages.localCheckpoint(eager=True))
+
+    def _build():
+        g = build_graph(pages)
+        g.edges.localCheckpoint(eager=True)
+        return g
+
+    g = timed("pipeline_build_graph", _build)
+    edges = g.edges.localCheckpoint(eager=True)
+    n_edges_sym = symmetrize(edges).count()
+
+    def _cc():
+        labels, m = connected_components(edges, vertices=g.vertices.select("vid"))
+        assert cc_count(labels) == 16
+        return m
+
+    cc_metrics = timed("pipeline_cc", _cc)
+    extras["cc_edges_per_sec"] = round(n_edges_sym / timings["pipeline_cc"], 1)
+    extras["cc_rounds"] = len(cc_metrics)
+    extras["cc_sym_edges"] = n_edges_sym
+
+    # -- document-graph queries at the sf dir ----------------------------
+    eg = doc_edges_global(spark, sf_dir).localCheckpoint(eager=True)
+    eb = doc_edges_blocked(spark, sf_dir).localCheckpoint(eager=True)
+    verts = doc_vertices(spark, sf_dir)
+
+    timed("doc_cc_global", lambda: connected_components(eg, vertices=verts)[0].count())
+    timed("doc_pagerank_20it", lambda: pagerank(eg, vertices=verts, tol=0.0, max_iter=20)[0].count())
+    timed("doc_labelprop_5it", lambda: label_propagation(symmetrize(eb), vertices=verts, max_iter=5)[0].count())
+    timed("doc_triangles", lambda: triangle_count(eb))
+    timed("doc_degrees", lambda: degree_table(eg).count())
+
+    # -- training-data pipeline ops --------------------------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("dedup_exact", lambda: exact_duplicates(docs).count())
+    timed("minhash_signatures", lambda: minhash_signatures(docs).count())
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 16).select(F.col("vec_id").alias("id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("id"), "embedding")
+    timed("ann_topk", lambda: cosine_topk(q, c, k=10).count())
+
+    # -- relational legs ---------------------------------------------------
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    timed("tpch_q1", lambda: li.groupBy("l_returnflag", "l_linestatus")
+          .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*")).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -46,7 +46,13 @@ def _checksum(edges: DataFrame) -> tuple:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every neighbor v > u to m = min(N(u) ∪ {u})."""
+    """Connect every neighbor v > u to m = min(N(u) ∪ {u}).
+
+    Output rows are (v, m) with v > u >= m, i.e. already oriented
+    (larger, smaller) and therefore directly consumable by _small_star
+    without re-orientation. The output is deduplicated here (one shuffle)
+    because v may receive the same m from several centers u.
+    """
     nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = (
         nbrs.groupBy("u")
@@ -62,16 +68,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
-    """Orient (larger, smaller); connect all smaller neighbors (and u itself)
-    to the minimum neighbor."""
-    o = (
-        edges.where(F.col("u") != F.col("v"))
-        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .distinct()
-    )
-    mins = o.groupBy("u").agg(F.min("v").alias("m"))
-    nb = o.join(mins, "u")
+def _small_star(oriented: DataFrame) -> DataFrame:
+    """Input must be oriented (u, v) with u > v, deduplicated (which is what
+    _large_star emits). Connect all smaller neighbors (and u itself) to the
+    minimum neighbor. Output again oriented (larger, smaller): every emitted
+    (x, m) has m = min(N(u) ∪ {u}) <= x."""
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    nb = oriented.join(mins, "u")
     out = nb.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
         mins.select("u", F.col("m").alias("v"))
     )

@@ -1,19 +1,31 @@
 """Power-iteration PageRank on the *directed* edge table.
 
 New capability mandated by the north rule (the reference computes only CC;
-SURVEY.md §2.9) built on the same superstep skeleton as the reference's
-min-label loop (/root/reference/src/connected_components.c:103-142): one
-join + one aggregation per iteration, a driver-side convergence reduction,
-per-iteration materialization instead of Allgatherv replication.
+SURVEY.md §2.9) built on the superstep skeleton of the reference's min-label
+loop (/root/reference/src/connected_components.c:103-142): one join + one
+aggregation per iteration, a driver-side convergence reduction, per-iteration
+materialization instead of Allgatherv replication.
 
 Semantics: damping alpha (default 0.85), uniform teleport, dangling mass
 redistributed uniformly each iteration; ranks sum to 1. Convergence on L1
 delta < tol (matches the numpy dense oracle in tests to allclose 1e-6).
 
-Scale notes: contributions shuffle on dst; Spark performs partial (map-side)
-aggregation for the sum automatically. Hub skew on dst is handled by AQE
-skew-join splitting plus an optional salted two-stage aggregation
-(`salt_buckets`) for the pathological in-degree hubs of web graphs.
+Shuffle budget per iteration (the 100 TB design point):
+- static state is partitioned ONCE and **persisted** (InMemoryTableScan
+  preserves hash partitioning; localCheckpoint does NOT in pyspark 4.1.2 —
+  measured, see git history): weighted edges (src, dst, inv_deg) by src,
+  vertices by vid, the dangling-vertex set broadcast.
+- per iteration exactly ONE shuffle (the groupBy(dst) contribution sum, with
+  map-side partial aggregation) and ONE action: a co-partitioned zip-join of
+  new vs old ranks computing the L1 delta AND the next iteration's dangling
+  mass in a single pass.
+- ranks stay hash-partitioned by vid end-to-end, so the edges join and the
+  delta join never re-shuffle them.
+- lineage is cut every `lineage_cut_every` iterations via localCheckpoint
+  (analysis time would otherwise grow linearly; the reshuffle that one
+  iteration is the price).
+- hub skew on dst: AQE skew handling + optional salted two-stage
+  aggregation (`salt_buckets`, SURVEY.md §4 X6).
 """
 
 from __future__ import annotations
@@ -36,57 +48,63 @@ def pagerank(
     checkpoint: Optional[CheckpointStore] = None,
     salt_buckets: int = 0,
 ) -> tuple[DataFrame, list[dict]]:
-    """Returns ((vid, rank), metrics). ``edges`` directed (src,dst), deduped.
-
-    ``salt_buckets`` > 0 splits the dst-sum into (dst, salt) partial sums
-    before the final (dst) sum — two-stage aggregation that spreads a hot
-    reducer key over N buckets (SURVEY.md §4 X6).
-    """
+    """Returns ((vid, rank), metrics). ``edges`` directed (src,dst), deduped."""
     spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if vertices is None:
         vertices = (
             edges.select(F.col("src").alias("vid"))
             .union(edges.select(F.col("dst").alias("vid")))
             .distinct()
         )
-    vertices = vertices.select("vid").localCheckpoint(eager=True)
+    vertices = vertices.select("vid").repartition(n_part, "vid").persist()
     n = vertices.count()
     if n == 0:
         return vertices.select("vid", F.lit(0.0).alias("rank")), []
 
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # (vid, out_deg) for all vertices; 0 => dangling
-    deg = (
-        vertices.join(out_deg, vertices.vid == out_deg.src, "left")
-        .select("vid", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
-        .localCheckpoint(eager=True)
+    # static weighted edges, hash-partitioned by the join key once
+    w_edges = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"))
+        .repartition(n_part, "src")
+        .persist()
     )
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    w_edges.count()
+    # static dangling-vertex set (broadcast in the loop); flag column for the
+    # combined stats pass
+    dangling_v = (
+        vertices.join(out_deg, vertices.vid == out_deg.src, "left_anti")
+        .select("vid", F.lit(1).alias("is_dangling"))
+        .persist()
+    )
+    n_dangling = dangling_v.count()
 
     start_iter = 0
     ranks = None
+    dangling = None
     if checkpoint is not None:
         resumed = checkpoint.latest("pagerank")
         if resumed is not None:
             start_iter, ranks = resumed
+            ranks = ranks.repartition(n_part, "vid").persist()
             start_iter += 1
     if ranks is None:
-        ranks = vertices.select("vid", F.lit(1.0 / n).alias("rank"))
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = vertices.select("vid", F.lit(1.0 / n).alias("rank")).persist()
+        dangling = n_dangling * (1.0 / n)  # uniform init: no action needed
+    if dangling is None:
+        dangling = (
+            ranks.join(F.broadcast(dangling_v.select("vid")), "vid", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
 
     metrics: list[dict] = []
+    init_ranks = ranks
     for it in range(start_iter, max_iter):
         t0 = time.monotonic()
-        rd = ranks.join(deg, "vid")
-        dangling = rd.where(F.col("out_deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0))
-        ).collect()[0][0]
-
-        contrib_src = rd.where(F.col("out_deg") > 0).select(
-            "vid", (F.col("rank") / F.col("out_deg")).alias("w")
-        )
-        joined = edges.join(contrib_src, edges.src == contrib_src.vid).select(
-            "src", "dst", "w"
+        joined = w_edges.join(ranks, w_edges.src == ranks.vid).select(
+            "src", "dst", (F.col("rank") * F.col("inv_deg")).alias("w")
         )
         if salt_buckets > 0:
             # two-stage sum: (dst, salt) partials spread a hot dst key over
@@ -110,14 +128,26 @@ def pagerank(
         if checkpoint is not None:
             new_ranks = checkpoint.write("pagerank", it, new_ranks)
         else:
+            # flat plan every iteration: without this the logical plan embeds
+            # the previous iteration's plan twice and grows exponentially
+            # (OOM in plan stringification around iter ~30, measured).
             new_ranks = new_ranks.localCheckpoint(eager=True)
 
-        delta = (
+        # ONE action: L1 delta (convergence) + dangling mass of new_ranks
+        # (needed next iteration). Both sides partitioned by vid: no shuffle.
+        row = (
             new_ranks.alias("a")
-            .join(ranks.alias("b"), "vid")
-            .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
-            .collect()[0][0]
+            .join(ranks.alias("b").select("vid", F.col("rank").alias("old_rank")), "vid")
+            .join(F.broadcast(dangling_v), "vid", "left")
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
+                F.coalesce(
+                    F.sum(F.when(F.col("is_dangling") == 1, F.col("rank"))), F.lit(0.0)
+                ).alias("dangling"),
+            )
+            .collect()[0]
         )
+        delta, dangling = row["delta"], row["dangling"]
         dt = time.monotonic() - t0
         metrics.append({"iter": it, "l1_delta": delta, "dangling": dangling, "sec": dt})
         if checkpoint is not None:
@@ -125,4 +155,5 @@ def pagerank(
         ranks = new_ranks
         if delta < tol:
             break
+    init_ranks.unpersist()
     return ranks, metrics

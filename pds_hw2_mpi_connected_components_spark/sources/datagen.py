@@ -31,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
@@ -159,6 +160,48 @@ def generate_pages_local(
     """Pure-pandas twin of :func:`generate_pages` (test oracle)."""
     ids = np.arange(n_pages, dtype=np.int64)
     return _render(ids, n_pages, n_components, hub_count, seed, max_extra_links)
+
+
+def generate_edges(
+    spark: SparkSession,
+    n_vertices: int,
+    n_components: int = 16,
+    hub_count: int = 8,
+    max_extra: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Pure-JVM deterministic edge generator for scale benchmarks.
+
+    Same topology family as :func:`generate_pages` (clustered spine +
+    hub-biased extra links => exactly ``n_components`` components, power-law
+    in-degree skew) but built entirely from Catalyst expressions over
+    ``spark.range`` — whole-stage codegen, no Python, so multi-million-edge
+    graphs materialize in seconds. Used by the N-vs-4N scaling bench where
+    the *algorithm* must dominate, not datagen.
+    """
+    if num_partitions is None:
+        num_partitions = max(8, n_vertices // 250_000)
+    C = n_components
+    ids = spark.range(0, n_vertices, 1, num_partitions).select(F.col("id"))
+    c = (F.col("id") % C).alias("c")
+    base = ids.select("id", c, (F.col("id") - (F.col("id") % C)).alias("li_base"))
+    spine = base.where(F.col("id") >= C).select(
+        F.col("id").alias("src"), (F.col("id") - C).alias("dst")
+    )
+    csize = (F.lit(n_vertices) - F.col("c") - 1 - ((F.lit(n_vertices) - F.col("c") - 1) % C)) / C + 1
+    exploded = base.select(
+        "id", "c", csize.cast("long").alias("csize"),
+        F.explode(F.sequence(F.lit(0), F.pmod(F.xxhash64("id", F.lit(1)), F.lit(max_extra)))).alias("j"),
+    )
+    h = F.pmod(F.xxhash64("id", "j", F.lit(2)), F.lit(1_000_000_007))
+    hubby = F.pmod(h, F.lit(5)) < 2
+    tgt_idx = F.when(hubby & (F.col("csize") > hub_count), F.pmod(h, F.lit(hub_count))).otherwise(
+        F.pmod(h, F.col("csize"))
+    )
+    extra = exploded.select(
+        F.col("id").alias("src"), (F.col("c") + tgt_idx * C).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    return spine.union(extra).distinct()
 
 
 def true_out_links(n_pages: int, n_components: int = 8, hub_count: int = 8,
