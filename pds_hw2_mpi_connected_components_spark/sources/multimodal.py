@@ -1,0 +1,141 @@
+"""Multimodal (image/audio/video) column handling for training-data pipelines.
+
+Media are opaque `binary` columns with typed metadata structs; all transforms
+are Arrow-batched `mapInPandas` operators so the Spark-side plumbing —
+schema, partition sizing, UDF signatures, batch shapes — is real and tested.
+The *codec* step is stubbed: image/audio libraries are not in this container,
+so `decode_image` ships a deterministic fake decoder (documented) and raises
+`NotImplementedError` for codecs it does not fake. Swapping the fake for
+Pillow/torchaudio is a one-function change; nothing in the plan changes.
+
+Scale notes: media rows are wide (MBs); `media_repartition_by_bytes` sizes
+partitions by *byte volume* not row count (a 128 MB row-count partition of
+4 MB images would be 100x oversized). Feature extraction emits fixed-width
+float arrays — the narrow table that downstream ANN (operators/similarity)
+consumes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, fmt string, width int, height int, "
+    "n_bytes long, payload binary"
+)
+
+FAKE_FORMATS = {"fake-rgb8"}  # deterministic stub codec
+
+
+def synth_media(spark, n: int, kind: str = "image") -> DataFrame:
+    """Deterministic synthetic media table (fake-rgb8: payload = raw
+    little-endian RGB bytes, width*height*3)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                w, h = 8 + int(i) % 8, 8 + (int(i) * 3) % 8
+                rng = np.arange(w * h * 3, dtype=np.uint64) * (int(i) + 1) % 251
+                payload = rng.astype(np.uint8).tobytes()
+                rows.append((int(i), kind, "fake-rgb8", w, h, len(payload), payload))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "fmt", "width", "height", "n_bytes", "payload"])
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def media_repartition_by_bytes(media: DataFrame, target_bytes: int = 64 * 1024 * 1024) -> DataFrame:
+    """Partition by byte volume: estimate rows/partition from avg payload
+    size, then repartition. At 100 TB this is the difference between 4 MB
+    and 4 GB tasks."""
+    stats = media.agg(F.avg("n_bytes").alias("avg"), F.count("*").alias("n")).collect()[0]
+    if not stats["n"]:
+        return media
+    rows_per_part = max(1, int(target_bytes / max(1.0, stats["avg"])))
+    n_part = max(1, int(stats["n"] / rows_per_part) + 1)
+    return media.repartition(n_part)
+
+
+def _decode_fake_rgb8(payload: bytes, width: int, height: int) -> np.ndarray:
+    return np.frombuffer(payload, dtype=np.uint8).reshape(height, width, 3)
+
+
+def decode_image(payload: bytes, fmt: str, width: int, height: int) -> np.ndarray:
+    """STUB: only the deterministic 'fake-rgb8' codec is implemented in this
+    container (no Pillow/libjpeg). Real formats raise until the codec lib is
+    installed — the surrounding Spark plumbing is format-agnostic."""
+    if fmt in FAKE_FORMATS:
+        return _decode_fake_rgb8(payload, width, height)
+    raise NotImplementedError(
+        f"codec {fmt!r} requires an image library not present in this sandbox"
+    )
+
+
+FEATURE_SCHEMA = "media_id long, feature array<float>"
+
+
+def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Decode + per-channel histogram features, Arrow-batched. Output is the
+    narrow (media_id, feature float[48]) table for ANN/dedup."""
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for _, r in pdf.iterrows():
+                img = decode_image(r["payload"], r["fmt"], r["width"], r["height"])
+                hist = [
+                    np.histogram(img[:, :, c], bins=n_bins, range=(0, 255))[0]
+                    for c in range(3)
+                ]
+                f = np.concatenate(hist).astype(np.float64)
+                norm = np.linalg.norm(f)
+                feats.append((f / norm if norm else f).astype(np.float32))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return media.select("media_id", "fmt", "width", "height", "payload").mapInPandas(
+        featurize, schema=FEATURE_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = MEDIA_SCHEMA
+
+
+def resize_image(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Nearest-neighbor resize (pure numpy — deterministic, no codec needed
+    beyond decode). Emits the same media schema with fmt preserved."""
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = decode_image(r["payload"], r["fmt"], r["width"], r["height"])
+                yi = (np.arange(out_h) * r["height"] // out_h).astype(int)
+                xi = (np.arange(out_w) * r["width"] // out_w).astype(int)
+                small = img[np.ix_(yi, xi)]
+                payload = small.astype(np.uint8).tobytes()
+                rows.append((r["media_id"], r["kind"], r["fmt"], out_w, out_h,
+                             len(payload), payload))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "fmt", "width", "height", "n_bytes", "payload"])
+
+    return media.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling STUB: for 'fake-rgb8' a "video" is its single
+    frame; the operator shape (1 row in -> k rows out via mapInPandas) is the
+    real thing. Real containers (mp4 etc.) raise NotImplementedError inside
+    decode_image."""
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["frame_idx"] = 0
+            yield out[["media_id", "frame_idx", "fmt", "width", "height", "payload"]]
+
+    return media.mapInPandas(
+        sample,
+        schema="media_id long, frame_idx int, fmt string, width int, height int, payload binary",
+    )
