@@ -1,0 +1,52 @@
+"""CLI surface: ingest -> cc benchmark report -> pagerank, in-process."""
+
+import json
+
+import pytest
+
+from pds_hw2_mpi_connected_components_spark import cli
+from pds_hw2_mpi_connected_components_spark.sources.datagen import generate_pages
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    pages_dir = str(root / "pages.parquet")
+    generate_pages(spark, 300, n_components=5).write.mode("overwrite").parquet(pages_dir)
+    out = str(root / "graph")
+    rc = cli.main(["--master", "local[4]", "ingest", "--pages", pages_dir, "--out", out])
+    assert rc == 0
+    return out
+
+
+def test_cli_cc_report(ingested, capsys):
+    rc = cli.main(["--master", "local[4]", "cc", "-n", "2",
+                   "--edges", f"{ingested}/edges.parquet"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    report = json.loads(out[out.index("{"):])
+    assert report["result"]["components"] == 5
+    assert report["result"]["trials_consistent"] is True
+    assert report["benchmark"]["n_trials"] == 2
+    assert report["result"]["edges_per_sec"] > 0
+    assert report["benchmark"]["mean_s"] >= report["benchmark"]["min_s"]
+
+
+def test_cli_cc_csr_mode_same_checksum(ingested, capsys):
+    rc = cli.main(["--master", "local[4]", "cc", "-n", "1", "--mode", "csr",
+                   "--edges", f"{ingested}/edges.parquet"])
+    out_csr = json.loads(capsys.readouterr().out.lstrip())
+    rc2 = cli.main(["--master", "local[4]", "cc", "-n", "1", "--mode", "df",
+                    "--edges", f"{ingested}/edges.parquet"])
+    out_df = json.loads(capsys.readouterr().out.lstrip())
+    assert rc == rc2 == 0
+    assert out_csr["result"]["labels_checksum"] == out_df["result"]["labels_checksum"]
+
+
+def test_cli_pagerank(ingested, capsys):
+    rc = cli.main(["--master", "local[4]", "pagerank",
+                   "--edges", f"{ingested}/edges.parquet", "--max-iter", "10"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.lstrip())
+    assert len(report["top10"]) == 10
+    assert report["iterations"] <= 10
