@@ -27,6 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from pds_hw2_mpi_connected_components_spark.operators.cc import connected_components, cc_count  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.operators.csr import (  # noqa: E402
+    connected_components_csr,
+    pagerank_csr,
+)
 from pds_hw2_mpi_connected_components_spark.operators.dedup import exact_duplicates, minhash_signatures  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.operators.degrees import degree_table  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.operators.labelprop import label_propagation  # noqa: E402
@@ -88,7 +92,9 @@ def main() -> None:
     verts = doc_vertices(spark, sf_dir)
 
     timed("doc_cc_global", lambda: connected_components(eg, vertices=verts)[0].count())
+    timed("doc_cc_global_csr", lambda: connected_components_csr(eg, vertices=verts)[0].count())
     timed("doc_pagerank_20it", lambda: pagerank(eg, vertices=verts, tol=0.0, max_iter=20)[0].count())
+    timed("doc_pagerank_20it_csr", lambda: pagerank_csr(eg, vertices=verts, tol=0.0, max_iter=20)[0].count())
     timed("doc_labelprop_5it", lambda: label_propagation(symmetrize(eb), vertices=verts, max_iter=5)[0].count())
     timed("doc_triangles", lambda: triangle_count(eb))
     timed("doc_degrees", lambda: degree_table(eg).count())

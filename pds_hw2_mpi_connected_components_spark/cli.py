@@ -1,0 +1,164 @@
+"""CLI — the reference's user surface, Spark-native.
+
+Reference: ``mpirun -np N ./connected_components_mpi [-n trials] graph.bin``
+(/root/reference/src/main.c:13, args at src/args.c:83-147) printing a nested
+JSON benchmark report (src/json.c:13-70, src/benchmark.c:298-321).
+
+Here:
+    python -m pds_hw2_mpi_connected_components_spark.cli ingest --pages P --out DIR
+    python -m pds_hw2_mpi_connected_components_spark.cli cc [-n TRIALS] --edges DIR [--mode df|csr]
+    python -m pds_hw2_mpi_connected_components_spark.cli pagerank --edges DIR [--alpha A]
+
+``ingest`` replaces the mtx_to_bin converter (pages parquet -> vertices +
+edges parquet); ``cc`` runs N barriered trials with a trial-consistency
+check (exit code 2 on mismatch, exactly like src/benchmark.c:275-284) and
+prints a JSON report with timing statistics and edges/sec (nnz/mean_time,
+benchmark.c:308).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import platform
+import statistics
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from .operators.cc import cc_count, connected_components
+from .operators.csr import connected_components_csr, pagerank_csr
+from .operators.pagerank import pagerank
+from .plans.session import get_spark
+from .sources.graph_build import build_graph, symmetrize
+
+
+def _time_stats(times: list[float]) -> dict:
+    """min/max/mean/median/stddev — mirrors calculate_time_statistics
+    (/root/reference/src/benchmark.c:50-87)."""
+    return {
+        "min_s": min(times),
+        "max_s": max(times),
+        "mean_s": statistics.mean(times),
+        "median_s": statistics.median(times),
+        "stddev_s": statistics.stdev(times) if len(times) > 1 else 0.0,
+    }
+
+
+def cmd_ingest(args: argparse.Namespace) -> int:
+    spark = get_spark(master=args.master, app_name="ingest")
+    pages = spark.read.parquet(args.pages)
+    g = build_graph(pages)
+    g.edges.write.mode("overwrite").parquet(os.path.join(args.out, "edges.parquet"))
+    g.vertices.write.mode("overwrite").parquet(os.path.join(args.out, "vertices.parquet"))
+    g.degrees.write.mode("overwrite").parquet(os.path.join(args.out, "degrees.parquet"))
+    n_e = spark.read.parquet(os.path.join(args.out, "edges.parquet")).count()
+    n_v = spark.read.parquet(os.path.join(args.out, "vertices.parquet")).count()
+    print(json.dumps({"edges": n_e, "vertices": n_v, "out": args.out}))
+    return 0
+
+
+def _sys_info(spark) -> dict:
+    """Analog of print_sys_info (/root/reference/src/json.c) — what ran where."""
+    return {
+        "spark_version": spark.version,
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "python": platform.python_version(),
+        "node": platform.node(),
+    }
+
+
+def cmd_cc(args: argparse.Namespace) -> int:
+    spark = get_spark(master=args.master, app_name="cc-cli")
+    edges = spark.read.parquet(args.edges).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    n_sym = symmetrize(edges).count()
+
+    runner = connected_components_csr if args.mode == "csr" else connected_components
+    times, counts, checksums = [], [], []
+    rounds = 0
+    for _ in range(args.n_trials):
+        t0 = time.monotonic()
+        labels, metrics = runner(edges)
+        n_comp = cc_count(labels)
+        times.append(time.monotonic() - t0)
+        counts.append(n_comp)
+        rounds = len(metrics)
+        h = labels.agg(F.bit_xor(F.xxhash64("vid", "label"))).collect()[0][0]
+        checksums.append(h)
+
+    consistent = len(set(counts)) == 1 and len(set(checksums)) == 1
+    report = {
+        "system": _sys_info(spark),
+        "graph": {"directed_edges": n_edges, "sym_edges_nnz": n_sym},
+        "benchmark": {
+            "n_trials": args.n_trials,
+            "mode": args.mode,
+            "rounds_to_convergence": rounds,
+            **_time_stats(times),
+        },
+        "result": {
+            "components": counts[0],
+            "labels_checksum": checksums[0],
+            "edges_per_sec": n_sym / statistics.mean(times),
+            "trials_consistent": consistent,
+        },
+    }
+    print(json.dumps(report, indent=2))
+    # trial-consistency contract: exit 2 on mismatch (benchmark.c:275-284)
+    return 0 if consistent else 2
+
+
+def cmd_pagerank(args: argparse.Namespace) -> int:
+    spark = get_spark(master=args.master, app_name="pr-cli")
+    edges = spark.read.parquet(args.edges).localCheckpoint(eager=True)
+    runner = pagerank_csr if args.mode == "csr" else pagerank
+    t0 = time.monotonic()
+    ranks, metrics = runner(edges, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter)
+    if args.out:
+        ranks.write.mode("overwrite").parquet(args.out)
+    top = ranks.orderBy(F.desc("rank"), F.asc("vid")).limit(10).collect()
+    print(json.dumps({
+        "system": _sys_info(spark),
+        "iterations": len(metrics),
+        "final_l1_delta": metrics[-1]["l1_delta"] if metrics else None,
+        "wall_s": time.monotonic() - t0,
+        "top10": [{"vid": r["vid"], "rank": r["rank"]} for r in top],
+    }, indent=2))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pds_hw2_mpi_connected_components_spark")
+    p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="pages parquet -> vertices/edges/degrees parquet")
+    pi.add_argument("--pages", required=True)
+    pi.add_argument("--out", required=True)
+    pi.set_defaults(fn=cmd_ingest)
+
+    pc = sub.add_parser("cc", help="connected components benchmark (reference CLI analog)")
+    pc.add_argument("-n", "--n-trials", type=int, default=3)  # default 3, args.c:83-147
+    pc.add_argument("--edges", required=True)
+    pc.add_argument("--mode", choices=["df", "csr"], default="df")
+    pc.set_defaults(fn=cmd_cc)
+
+    pp = sub.add_parser("pagerank")
+    pp.add_argument("--edges", required=True)
+    pp.add_argument("--alpha", type=float, default=0.85)
+    pp.add_argument("--tol", type=float, default=1e-8)
+    pp.add_argument("--max-iter", type=int, default=100)
+    pp.add_argument("--mode", choices=["df", "csr"], default="df")
+    pp.add_argument("--out", default=None)
+    pp.set_defaults(fn=cmd_pagerank)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
