@@ -213,10 +213,13 @@ def parent(n_pages: int, trials: int = 3) -> None:
     assert r8["pipeline_label_checksum"] == r32["pipeline_label_checksum"]
     assert r8["graph_label_checksum"] == r32["graph_label_checksum"]
 
-    effs = {}
+    effs, effs_norm = {}, {}
+    ceiling = hw["eff_2_to_8"]
     for k in r8["timings"]:
         effs[k] = round((r8["timings"][k] / r32["timings"][k]) / 4, 3)
+        effs_norm[k] = round(effs[k] / ceiling, 3)
     summary = {f"efficiency_{MASTERS[0]}_to_{MASTERS[1]}": effs,
+               "efficiency_ceiling_normalized": effs_norm,
                "hardware_probe": hw,
                "labels_identical_across_parallelism": True}
     print(json.dumps(summary))
@@ -225,7 +228,8 @@ def parent(n_pages: int, trials: int = 3) -> None:
     for k in r8["timings"]:
         rows.append(
             f"| {k} | {r8['timings'][k]:.2f} | {r32['timings'][k]:.2f} | "
-            f"{r8['timings'][k]/r32['timings'][k]:.2f}x | **{effs[k]:.3f}** |"
+            f"{r8['timings'][k]/r32['timings'][k]:.2f}x | **{effs[k]:.3f}** | "
+            f"{effs_norm[k]:.3f} |"
         )
     table = "\n".join(rows)
     md = f"""# BENCH — scaling-efficiency evidence (N vs 4N)
@@ -257,9 +261,14 @@ symmetrized), CC + 5 PageRank iterations in both execution modes
 (DataFrame = shuffle-based, scales past node memory; CSR = Arrow/numpy
 gather-scatter with a broadcast vector, the reference's physical shape).
 
-| stage | {MASTERS[0]} s | {MASTERS[1]} s | speedup | efficiency |
-|---|---:|---:|---:|---:|
+| stage | {MASTERS[0]} s | {MASTERS[1]} s | speedup | efficiency | ceiling-normalized |
+|---|---:|---:|---:|---:|---:|
 {table}
+
+Ceiling-normalized = raw efficiency / the {ceiling:.3f} pure-CPU efficiency the
+VM delivered for the same 2->8 span during this run (the honest "what would
+this be on silicon that actually scales 4x" estimate — a real 4x-executor
+cluster is on the silicon side of that division).
 
 CC throughput (sym edges/s): N df {r8['cc_edges_per_sec_df']:,.0f} /
 csr {r8['cc_edges_per_sec_csr']:,.0f}; 4N df {r32['cc_edges_per_sec_df']:,.0f} /
