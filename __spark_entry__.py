@@ -245,6 +245,59 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status) — grouping-set aggregation the reference
+    lacks (SURVEY.md §2.5 note). Null grouping keys coalesced to 'ALL' so the
+    oracle comparison is null-free."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total_r"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n", "total_r",
+        )
+    )
+
+
+def _q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into per-user count columns (fixed value list)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = (
+        ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count().na.fill(0)
+    )
+    return out.select("user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES])
+
+
+def _q_hopping_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window: width 10 min, slide 5 min — each event lands
+    in 2 windows. Window start reported as epoch seconds (BIGINT)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("ws"),
+            "event_type", "n",
+        )
+    )
+
+
+def _q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — distinct aggregation (absent in the
+    reference, SURVEY.md §2.5)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cc_labels_blocked": _q_cc_labels,
@@ -267,6 +320,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_rollup": _q_nation_rollup,
         "events_tumbling": _q_events_tumbling,
         "events_sessionize": _q_events_sessionize,
+        "cube_orders": _q_cube_orders,
+        "pivot_events": _q_pivot_events,
+        "hopping_events": _q_hopping_events,
+        "distinct_agg": _q_distinct_agg,
     }
 
 
@@ -476,6 +533,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS ws, event_type,
                    count(*) AS n, round(sum(value), 2) AS value_r
             FROM events GROUP BY 1, 2
+        """,
+        "cube_orders": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total_r
+            FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+                   CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+                   CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+                   CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+                   CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "hopping_events": """
+            WITH e AS (
+                SELECT event_type,
+                       ((CAST(floor(epoch(ts)) AS BIGINT) - k.k * 300) // 600) * 600
+                         + k.k * 300 AS ws
+                FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+            )
+            SELECT ws, event_type, count(*) AS n FROM e GROUP BY 1, 2
+        """,
+        "distinct_agg": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "events_sessionize": """
             WITH x AS (
