@@ -105,7 +105,11 @@ def pagerank_csr(
     vid_pdf = vertices.select("vid").toPandas()
     vids = np.sort(vid_pdf["vid"].to_numpy())
     n = len(vids)
-    size = int(vids[-1]) + 1 if n else 0
+    if n == 0:
+        # mirror operators/pagerank.py's explicit empty-input path — the two
+        # modes are documented as semantically identical.
+        return spark.createDataFrame([], "vid long, rank double"), []
+    size = int(vids[-1]) + 1
     exists = np.zeros(size, dtype=bool)
     exists[vids] = True
 
@@ -163,7 +167,9 @@ def connected_components_csr(
         universe = vertices.select("vid")
     vids = np.sort(universe.toPandas()["vid"].to_numpy())
     n = len(vids)
-    size = int(vids[-1]) + 1 if n else 0
+    if n == 0:
+        return spark.createDataFrame([], "vid long, label long"), []
+    size = int(vids[-1]) + 1
 
     packed = pack_by_dst(sym)
     label = np.full(size, np.iinfo(np.int64).max, dtype=np.int64)

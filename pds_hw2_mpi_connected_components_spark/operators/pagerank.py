@@ -10,20 +10,37 @@ Semantics: damping alpha (default 0.85), uniform teleport, dangling mass
 redistributed uniformly each iteration; ranks sum to 1. Convergence on L1
 delta < tol (matches the numpy dense oracle in tests to allclose 1e-6).
 
-Shuffle budget per iteration (the 100 TB design point):
-- static state is partitioned ONCE and **persisted** (InMemoryTableScan
-  preserves hash partitioning; localCheckpoint does NOT in pyspark 4.1.2 —
-  measured, see git history): weighted edges (src, dst, inv_deg) by src,
-  vertices by vid, the dangling-vertex set broadcast.
-- per iteration exactly ONE shuffle (the groupBy(dst) contribution sum, with
-  map-side partial aggregation) and ONE action: a co-partitioned zip-join of
-  new vs old ranks computing the L1 delta AND the next iteration's dangling
-  mass in a single pass.
-- ranks stay hash-partitioned by vid end-to-end, so the edges join and the
-  delta join never re-shuffle them.
-- lineage is cut every `lineage_cut_every` iterations via localCheckpoint
-  (analysis time would otherwise grow linearly; the reshuffle that one
-  iteration is the price).
+Shuffle budget per iteration (the 100 TB design point): exactly ONE
+edge-scale shuffle — the groupBy(dst) contribution sum, with map-side
+partial aggregation — and ONE action (a co-partitioned join of new vs old
+ranks computing the L1 delta AND the next iteration's dangling mass in a
+single pass). Enforced by tests/test_plan_audit.py. How:
+
+- every loop-static table is a FLAT, pre-partitioned LogicalRDD:
+  ``repartition(key).localCheckpoint(eager=True)``. Two measured pyspark
+  4.1.2 facts drive this (see tests/test_plan_audit.py):
+  1. localCheckpoint PRESERVES the child's hash partitioning (the LogicalRDD
+     captures outputPartitioning), so joins/aggs on the checkpointed table
+     need no exchange;
+  2. ``persist()`` + CacheManager lookup is FRAGILE here: when two cached
+     plans share lineage (vertices and w_edges both derive from ``edges``),
+     analyzer attribute-deduplication rewrites one subtree and its cache
+     lookup silently MISSES — round 1 rebuilt the weighted edge table
+     (join + repartition) every single iteration because of this. Flat
+     LogicalRDDs have no lineage to dedup and need no cache lookup.
+- per iteration, new_ranks is materialized with
+  ``repartition(n_part, "vid").localCheckpoint(eager=True)``; the
+  repartition is ELIDED by the planner when the join output is already
+  hash(vid, n_part) (the normal case) and only actually shuffles when AQE
+  re-planned the join output, so the steady-state budget is the groupBy
+  alone. (The checkpointed-durability path re-reads parquet, which is
+  genuinely unpartitioned — there the vertex-scale repartition is the
+  price of resumability.)
+- localCheckpoint also cuts lineage every iteration (plan growth would
+  otherwise OOM analysis around iteration ~30, measured round 1).
+- materialized RDDs are freed by the driver GC + ContextCleaner once the
+  loop drops its references — nothing stays pinned by CacheManager after
+  the call returns (round 1 leaked the persisted statics).
 - hub skew on dst: AQE skew handling + optional salted two-stage
   aggregation (`salt_buckets`, SURVEY.md §4 X6).
 """
@@ -57,27 +74,28 @@ def pagerank(
             .union(edges.select(F.col("dst").alias("vid")))
             .distinct()
         )
-    vertices = vertices.select("vid").repartition(n_part, "vid").persist()
+    # flat + hash(vid): see module docstring for why localCheckpoint, not persist
+    vertices = (
+        vertices.select("vid").repartition(n_part, "vid").localCheckpoint(eager=True)
+    )
     n = vertices.count()
     if n == 0:
         return vertices.select("vid", F.lit(0.0).alias("rank")), []
 
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # static weighted edges, hash-partitioned by the join key once
+    # static weighted edges: flat + hash(src), materialized once
     w_edges = (
         edges.join(out_deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"))
         .repartition(n_part, "src")
-        .sortWithinPartitions("src")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    w_edges.count()
     # static dangling-vertex set (broadcast in the loop); flag column for the
     # combined stats pass
     dangling_v = (
         vertices.join(out_deg, vertices.vid == out_deg.src, "left_anti")
         .select("vid", F.lit(1).alias("is_dangling"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n_dangling = dangling_v.count()
 
@@ -88,10 +106,11 @@ def pagerank(
         resumed = checkpoint.latest("pagerank")
         if resumed is not None:
             start_iter, ranks = resumed
-            ranks = ranks.repartition(n_part, "vid").persist()
+            ranks = ranks.repartition(n_part, "vid").localCheckpoint(eager=True)
             start_iter += 1
     if ranks is None:
-        ranks = vertices.select("vid", F.lit(1.0 / n).alias("rank")).persist()
+        # Project over the flat vertices: partitioning hash(vid) is preserved.
+        ranks = vertices.select("vid", F.lit(1.0 / n).alias("rank"))
         dangling = n_dangling * (1.0 / n)  # uniform init: no action needed
     if dangling is None:
         dangling = (
@@ -101,12 +120,12 @@ def pagerank(
         )
 
     metrics: list[dict] = []
-    init_ranks = ranks
     for it in range(start_iter, max_iter):
         t0 = time.monotonic()
         # shuffle-hash: build the hash table on the (small) ranks side; the
-        # cached pre-partitioned edges stream through with no sort (A/B
-        # measured ~3x over the default sort-merge at 2M vertices)
+        # pre-partitioned flat edges stream through with no sort and no
+        # exchange (A/B measured ~3x over the default sort-merge at 2M
+        # vertices)
         joined = w_edges.join(ranks.hint("shuffle_hash"), w_edges.src == ranks.vid).select(
             "src", "dst", (F.col("rank") * F.col("inv_deg")).alias("w")
         )
@@ -130,15 +149,19 @@ def pagerank(
             )
         )
         if checkpoint is not None:
-            new_ranks = checkpoint.write("pagerank", it, new_ranks)
+            # rows is n by construction (left join on the vertex table);
+            # passing it avoids an extra scan. The parquet re-read is
+            # unpartitioned: restore hash(vid) for the two consumers below.
+            new_ranks = checkpoint.write("pagerank", it, new_ranks, rows=n)
+            new_ranks = new_ranks.repartition(n_part, "vid").localCheckpoint(eager=True)
         else:
-            # flat plan every iteration: without this the logical plan embeds
-            # the previous iteration's plan twice and grows exponentially
-            # (OOM in plan stringification around iter ~30, measured).
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            # flat plan every iteration (plan growth + partitioning: see
+            # module docstring). The repartition is a planner no-op while
+            # the join output is already hash(vid, n_part).
+            new_ranks = new_ranks.repartition(n_part, "vid").localCheckpoint(eager=True)
 
         # ONE action: L1 delta (convergence) + dangling mass of new_ranks
-        # (needed next iteration). Both sides partitioned by vid: no shuffle.
+        # (needed next iteration). Both sides hash(vid): no shuffle.
         row = (
             new_ranks.alias("a")
             .join(ranks.alias("b").select("vid", F.col("rank").alias("old_rank")), "vid")
@@ -159,5 +182,4 @@ def pagerank(
         ranks = new_ranks
         if delta < tol:
             break
-    init_ranks.unpersist()
     return ranks, metrics

@@ -14,9 +14,18 @@ Design (SURVEY.md §7.5): a thin abstraction with two backends —
   the classpath (not in this sandbox); same manifest protocol on top.
 
 The manifest records iteration number, row count, per-partition lineage
-(partition index -> file), and arbitrary metadata (e.g. convergence
-checksums), mirroring what the reference's benchmark JSON records per trial
+(writer-task partition index -> file, parsed from Spark's part-NNNNN
+naming), and arbitrary metadata (e.g. convergence checksums), mirroring
+what the reference's benchmark JSON records per trial
 (/root/reference/src/benchmark.c:298-321) but per-iteration and durable.
+
+Path contract: manifest/listing IO uses the LOCAL filesystem (os.listdir /
+open), so ``root`` must be a local path (or a mount that looks like one —
+NFS, fuse-mounted object store). For a native hdfs:// or s3a:// root the
+manifest IO would need the Hadoop FileSystem API; that is deliberately out
+of scope here — on a cluster, point ``root`` at shared POSIX storage or a
+fuse mount. The DATA writes go through df.write.parquet and would work on
+any Hadoop-supported scheme.
 """
 
 from __future__ import annotations
@@ -28,6 +37,16 @@ import time
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _part_index(filename: str, fallback: int) -> int:
+    """Partition index from Spark's ``part-NNNNN-...`` naming — the actual
+    writer-task partition id, not just the file's sort position."""
+    if filename.startswith("part-"):
+        head = filename[len("part-"):].split("-", 1)[0]
+        if head.isdigit():
+            return int(head)
+    return fallback
 
 
 class CheckpointStore:
@@ -60,22 +79,38 @@ class CheckpointStore:
 
     # -- write / read ----------------------------------------------------
     def write(self, name: str, it: int, df: DataFrame,
-              meta: Optional[dict[str, Any]] = None) -> DataFrame:
+              meta: Optional[dict[str, Any]] = None,
+              rows: Optional[int] = None) -> DataFrame:
         """Persist iteration state; returns a fresh DataFrame reading it back
-        (lineage cut). Manifest commit is atomic: tmp + rename."""
+        (lineage cut). Manifest commit is atomic: tmp + rename.
+
+        ``rows``: pass the row count when the caller already knows it (e.g.
+        from its convergence aggregate) — otherwise it is read from the
+        parquet footers' row-count metadata, NOT a second full scan (the
+        round-1 design ran ``reread.count()`` here, a second scan of the
+        state per superstep; at scale that doubles checkpoint cost)."""
         path = self._dir(name, it)
         df.write.mode("overwrite").parquet(path)
         files = sorted(
             f for f in os.listdir(path) if f.endswith(".parquet")
         )
         reread = self.spark.read.parquet(path)
+        if rows is None:
+            # footer metadata only: pyarrow reads num_rows without touching
+            # column data (O(files), not O(rows)).
+            import pyarrow.parquet as pq
+            rows = sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in files
+            )
         manifest = {
             "name": name,
             "iteration": it,
             "path": path,
-            "rows": reread.count(),
+            "rows": rows,
             "partitions": [
-                {"index": i, "file": f} for i, f in enumerate(files)
+                {"index": _part_index(f, i), "file": f}
+                for i, f in enumerate(files)
             ],
             "committed_at": time.time(),
             "meta": meta or {},

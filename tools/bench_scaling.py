@@ -97,7 +97,9 @@ def worker(master: str, n_pages: int) -> None:
     )
     from pds_hw2_mpi_connected_components_spark.operators.csr import (
         connected_components_csr,
+        pagerank_csr,
     )
+    from pds_hw2_mpi_connected_components_spark.operators.pagerank import pagerank
     from pds_hw2_mpi_connected_components_spark.plans.session import get_spark
     from pds_hw2_mpi_connected_components_spark.sources.datagen import generate_edges
     from pds_hw2_mpi_connected_components_spark.sources.graph_build import (
@@ -156,6 +158,24 @@ def worker(master: str, n_pages: int) -> None:
     row = labels3.agg(F.bit_xor(F.xxhash64("vid", "label")).alias("h"),
                       F.count("*").alias("n")).collect()[0]
     assert row["h"] == info["graph_label_checksum"][1], "CSR/DataFrame label mismatch"
+
+    # ---- PageRank legs: 5 fixed iterations, both execution modes ---------
+    t0 = time.monotonic()
+    pr_df, _ = pagerank(edges2, tol=0.0, max_iter=5)
+    t["pagerank5_dataframe"] = time.monotonic() - t0
+    t0 = time.monotonic()
+    pr_csr, _ = pagerank_csr(edges2, tol=0.0, max_iter=5)
+    t["pagerank5_csr"] = time.monotonic() - t0
+    # cross-mode value agreement (summation order differs => not bit-equal;
+    # the tests' allclose contract is 1e-6, enforce well below it here)
+    diff = (
+        pr_df.join(pr_csr.withColumnRenamed("rank", "rank_csr"), "vid")
+        .agg(F.max(F.abs(F.col("rank") - F.col("rank_csr"))).alias("d"),
+             F.count("*").alias("n"))
+        .collect()[0]
+    )
+    assert diff["n"] == N_VERTICES_GRAPH and diff["d"] < 1e-9, dict(diff.asDict())
+    pr_df.unpersist()
 
     info["timings"] = {k: round(v, 3) for k, v in t.items()}
     info["cc_edges_per_sec_df"] = round(info["graph_sym_edges"] / t["cc_dataframe"], 1)

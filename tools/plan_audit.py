@@ -75,7 +75,7 @@ def main() -> int:
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     w = (edges.join(out_deg, "src")
          .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv"))
-         .repartition(8, "src").sortWithinPartitions("src").persist())
+         .repartition(8, "src").persist())
     w.count()
     ranks = spark.range(100).select(F.col("id").alias("vid"), F.lit(0.1).alias("rank")).localCheckpoint()
     j = w.join(ranks.hint("shuffle_hash"), w.src == ranks.vid)
