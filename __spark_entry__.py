@@ -45,7 +45,12 @@ from pds_hw2_mpi_connected_components_spark.operators.dedup import (
 from pds_hw2_mpi_connected_components_spark.operators.degrees import degree_table
 from pds_hw2_mpi_connected_components_spark.operators.labelprop import label_propagation
 from pds_hw2_mpi_connected_components_spark.operators.pagerank import pagerank
-from pds_hw2_mpi_connected_components_spark.operators.similarity import cosine_topk
+from pds_hw2_mpi_connected_components_spark.operators.similarity import (
+    _hyperplane,
+    ann_topk_lsh,
+    cosine_topk,
+    embedding_near_dups,
+)
 from pds_hw2_mpi_connected_components_spark.operators.triangles import triangles_per_graph
 from pds_hw2_mpi_connected_components_spark.sources.doc_edges import (
     EDGES_BLOCKED_SQL,
@@ -113,14 +118,52 @@ def _q_labelprop2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("vid", "label")
 
 
+_PR_ITERS = 40  # fixed iteration count shared by the Spark query and the oracle
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tol=0.0: exactly _PR_ITERS iterations, so the DuckDB oracle (the same
+    # power method unrolled as chained CTEs) computes the identical value
+    # sequence; round(8) absorbs float summation-order noise (~1e-14).
     ranks, _ = pagerank(
         doc_edges_global(spark, sf_dir),
         vertices=doc_vertices(spark, sf_dir),
-        tol=1e-9,
-        max_iter=80,
+        tol=0.0,
+        max_iter=_PR_ITERS,
     )
     return ranks.select("vid", F.round("rank", 8).alias("rank_r"))
+
+
+def _pagerank_oracle_sql(k: int = _PR_ITERS, alpha: float = 0.85) -> str:
+    """Fixed-k power iteration unrolled as chained CTEs (plain ANSI SQL —
+    no recursive-CTE aggregation restrictions). Mirrors operators/pagerank.py
+    float-op-for-float-op: rank * (1.0/out_deg) (NOT rank/out_deg, which
+    rounds differently), and base = ((1-a)/n + a*dang/n) + a*contrib with
+    Python's left-associative evaluation order."""
+    a = f"CAST({alpha!r} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and the
+    # r{i} chain references each level several times — inlining expands the
+    # plan exponentially (observed: "Too many open files" from thousands of
+    # re-opened parquet scans at k=40).
+    parts = [f"""WITH e AS MATERIALIZED ({EDGES_GLOBAL_SQL}),
+ deg AS MATERIALIZED (SELECT src, {one} / count(*) AS inv_deg FROM e GROUP BY src),
+ v AS MATERIALIZED (SELECT doc_id AS vid FROM documents),
+ nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+ r0 AS MATERIALIZED (SELECT vid, {one} / (SELECT n FROM nn) AS rank FROM v)"""]
+    for i in range(k):
+        parts.append(f""",
+ d{i} AS MATERIALIZED (SELECT coalesce(sum(r.rank), CAST(0.0 AS DOUBLE)) AS dang
+          FROM r{i} r LEFT JOIN deg ON r.vid = deg.src WHERE deg.src IS NULL),
+ c{i} AS MATERIALIZED (SELECT e.dst AS vid, sum(r.rank * deg.inv_deg) AS contrib
+          FROM r{i} r JOIN e ON e.src = r.vid JOIN deg ON deg.src = e.src
+          GROUP BY e.dst),
+ r{i + 1} AS MATERIALIZED (SELECT v.vid,
+        (({one} - {a}) / (SELECT n FROM nn) + {a} * (SELECT dang FROM d{i}) / (SELECT n FROM nn))
+        + {a} * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
+        FROM v LEFT JOIN c{i} c ON v.vid = c.vid)""")
+    parts.append(f"\nSELECT vid, round(rank, 8) AS rank_r FROM r{k}")
+    return "".join(parts)
 
 
 def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,6 +226,44 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("id"), "embedding")
     c = emb.select(F.col("vec_id").alias("id"), "embedding")
     return cosine_topk(q, c, k=10)
+
+
+def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).select("vec_id")
+    # n_planes=6 => 64 buckets over 500 vecs: queries really get bucket-mates
+    return ann_topk_lsh(emb, q, k=10, n_planes=6, seed=7)
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # testdata embeddings are near-random (max cosine ~0.46): threshold 0.3
+    # exercises bucketing + scoring + threshold on non-empty output
+    return embedding_near_dups(emb, threshold=0.3, n_planes=6, seed=7)
+
+
+def _lsh_bucket_sql(n_planes: int = 6, seed: int = 7, dim: int = 64) -> str:
+    """DuckDB CTE text computing the same sign-LSH bucket as
+    operators/similarity.lsh_signatures: the deterministic ±1 hyperplanes are
+    emitted as literals (same _hyperplane arithmetic, evaluated here), the
+    per-(id, plane) dot is a sum of w * component products. Assumes the
+    testdata embedding dim (64, all sfs — asserted by the Spark side reading
+    the same table)."""
+    planes = _hyperplane(dim, n_planes, seed)
+    vals = ", ".join(
+        f"({p}, {d}, CAST({planes[p, d]:.1f} AS DOUBLE))"
+        for p in range(n_planes) for d in range(dim)
+    )
+    return f"""
+        planes(plane, dim_i, w) AS (VALUES {vals}),
+        emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        comp AS (SELECT emb.id, p.plane, sum(p.w * emb.e[p.dim_i + 1]) AS dot
+                 FROM emb CROSS JOIN planes p GROUP BY emb.id, p.plane),
+        sig AS (SELECT id, CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << plane)
+                                         ELSE 0 END) AS BIGINT) AS bucket
+                FROM comp GROUP BY id),
+        based AS (SELECT emb.id, emb.e, sig.bucket FROM emb JOIN sig USING (id))
+    """
 
 
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,6 +396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": _q_simhash,
         "text_stats": _q_text_stats,
         "ann_topk": _q_ann_topk,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "embedding_near_dups": _q_embedding_near_dups,
         "tpch_q1": _q_tpch_q1,
         "orders_top3": _q_orders_top3,
         "nation_rollup": _q_nation_rollup,
@@ -423,7 +506,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.vid AS vid, coalesce(t2.label, l1.label) AS label
             FROM v LEFT JOIN l1 ON v.vid = l1.vid LEFT JOIN t2 ON v.vid = t2.vid
         """,
-        # pagerank_global: intentionally omitted (iterative; rows-only check)
+        "pagerank_global": _pagerank_oracle_sql(),
         "extract_text": r"""
             SELECT doc_id,
                    trim('Doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
@@ -501,6 +584,25 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY sim_r DESC, neighbor_id ASC) AS BIGINT) AS rank
                   FROM s)
             SELECT query_id, neighbor_id, rank, sim_r FROM r WHERE rank <= 10
+        """,
+        "ann_topk_lsh": f"""
+            WITH {_lsh_bucket_sql()},
+            q AS (SELECT id AS qid, e AS qe, bucket FROM based WHERE id < 5),
+            s AS (SELECT q.qid AS query_id, c.id AS neighbor_id,
+                         round(list_cosine_similarity(q.qe, c.e), 4) AS sim_r
+                  FROM q JOIN based c ON q.bucket = c.bucket),
+            r AS (SELECT query_id, neighbor_id, sim_r,
+                         CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim_r DESC, neighbor_id ASC) AS BIGINT) AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, sim_r, rank FROM r WHERE rank <= 10
+        """,
+        "embedding_near_dups": f"""
+            WITH {_lsh_bucket_sql()}
+            SELECT x.id AS a, y.id AS b,
+                   round(list_cosine_similarity(x.e, y.e), 4) AS sim_r
+            FROM based x JOIN based y ON x.bucket = y.bucket AND x.id < y.id
+            WHERE round(list_cosine_similarity(x.e, y.e), 4) >= 0.3
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

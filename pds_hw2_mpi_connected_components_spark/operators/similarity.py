@@ -84,8 +84,10 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's LSH bucket.
-    Returns (query_id, neighbor_id, rank, sim_r); recall measured in tests
-    against cosine_topk."""
+    Returns (query_id, neighbor_id, sim_r, rank); recall against the exact
+    cosine_topk is measured in tests/test_similarity.py on clustered
+    embeddings, and the driver contract value-checks the full result against
+    a DuckDB oracle (__spark_entry__.py: ann_topk_lsh)."""
     sig = lsh_signatures(emb, n_planes, seed, id_col)
     base = emb.select(F.col(id_col).alias("id"), "embedding").join(sig, "id")
     q = (
