@@ -118,6 +118,29 @@ def _q_labelprop2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("vid", "label")
 
 
+def _q_mtx_cc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MatrixMarket roundtrip as a value-checked query: blocked doc
+    edges -> symmetric .mtx file -> read_mtx (banner/comment/1-based/
+    symmetric-expansion contract) -> connected components. The oracle is the
+    same recursive-CTE component count as cc_count_blocked — any loss or
+    corruption in the file roundtrip changes the count."""
+    import tempfile
+
+    from pds_hw2_mpi_connected_components_spark.sources.graph_io import (
+        read_mtx,
+        write_mtx,
+    )
+
+    docs_n = _docs(spark, sf_dir).count()
+    path = tempfile.mktemp(suffix=".mtx", prefix="mtx_cc_")
+    write_mtx(doc_edges_blocked(spark, sf_dir), docs_n, path)
+    edges, _header = read_mtx(spark, path)
+    labels, _ = connected_components(
+        edges.localCheckpoint(eager=True), vertices=doc_vertices(spark, sf_dir)
+    )
+    return labels.agg(F.countDistinct("label").alias("n_components"))
+
+
 _PR_ITERS = 40  # fixed iteration count shared by the Spark query and the oracle
 
 
@@ -383,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cc_labels_blocked": _q_cc_labels,
         "cc_count_blocked": _q_cc_count,
+        "mtx_cc_count": _q_mtx_cc_count,
         "degrees_global": _q_degrees,
         "symmetrize_blocked": _q_symmetrize,
         "triangles_blocked": _q_triangles,
@@ -456,6 +480,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT v AS vid, min(m) AS label FROM walk GROUP BY v
         """,
         "cc_count_blocked": f"""
+            WITH RECURSIVE e AS ({EDGES_BLOCKED_SQL}),
+            sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            walk(v, m) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.dst, w.m FROM walk w JOIN sym s ON s.src = w.v
+            )
+            SELECT count(DISTINCT label) AS n_components
+            FROM (SELECT v, min(m) AS label FROM walk GROUP BY v) z
+        """,
+        # same truth as cc_count_blocked: the Spark side roundtrips the edge
+        # set through a MatrixMarket file first, so a parity failure here
+        # isolates the file-format path.
+        "mtx_cc_count": f"""
             WITH RECURSIVE e AS ({EDGES_BLOCKED_SQL}),
             sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
             walk(v, m) AS (

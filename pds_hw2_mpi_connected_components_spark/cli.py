@@ -33,6 +33,20 @@ from .operators.csr import connected_components_csr, pagerank_csr
 from .operators.pagerank import pagerank
 from .plans.session import get_spark
 from .sources.graph_build import build_graph, symmetrize
+from .sources.graph_io import GraphFormatError, read_bin_csc, read_mtx, write_bin_csc
+
+
+def _load_edges(spark, path: str):
+    """Edge-table source dispatch — the reference's two file formats plus
+    the engine's native parquet: .mtx (MatrixMarket, symmetric-expanded),
+    .bin (reference binary CSC), anything else = parquet dir of (src,dst)."""
+    if path.endswith(".mtx"):
+        edges, _ = read_mtx(spark, path)
+    elif path.endswith(".bin"):
+        edges, _ = read_bin_csc(spark, path)
+    else:
+        edges = spark.read.parquet(path)
+    return edges.localCheckpoint(eager=True)
 
 
 def _time_stats(times: list[float]) -> dict:
@@ -71,9 +85,20 @@ def _sys_info(spark) -> dict:
     }
 
 
+def cmd_convert(args: argparse.Namespace) -> int:
+    """MatrixMarket -> binary CSC, the reference's mtx_to_bin converter
+    (/root/reference/src/converter/mtx_to_bin.c) Spark-side."""
+    spark = get_spark(master=args.master, app_name="convert")
+    edges, header = read_mtx(spark, args.infile)
+    nnz = write_bin_csc(edges, header["nrows"], header["ncols"], args.outfile)
+    print(json.dumps({"nrows": header["nrows"], "ncols": header["ncols"],
+                      "nnz_expanded": nnz, "out": args.outfile}))
+    return 0
+
+
 def cmd_cc(args: argparse.Namespace) -> int:
     spark = get_spark(master=args.master, app_name="cc-cli")
-    edges = spark.read.parquet(args.edges).localCheckpoint(eager=True)
+    edges = _load_edges(spark, args.edges)
     n_edges = edges.count()
     n_sym = symmetrize(edges).count()
 
@@ -114,7 +139,7 @@ def cmd_cc(args: argparse.Namespace) -> int:
 
 def cmd_pagerank(args: argparse.Namespace) -> int:
     spark = get_spark(master=args.master, app_name="pr-cli")
-    edges = spark.read.parquet(args.edges).localCheckpoint(eager=True)
+    edges = _load_edges(spark, args.edges)
     runner = pagerank_csr if args.mode == "csr" else pagerank
     t0 = time.monotonic()
     ranks, metrics = runner(edges, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter)
@@ -141,14 +166,21 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--out", required=True)
     pi.set_defaults(fn=cmd_ingest)
 
+    pv = sub.add_parser("convert", help=".mtx -> .bin CSC (reference converter analog)")
+    pv.add_argument("infile")
+    pv.add_argument("outfile")
+    pv.set_defaults(fn=cmd_convert)
+
     pc = sub.add_parser("cc", help="connected components benchmark (reference CLI analog)")
     pc.add_argument("-n", "--n-trials", type=int, default=3)  # default 3, args.c:83-147
-    pc.add_argument("--edges", required=True)
+    pc.add_argument("--edges", required=True,
+                    help="edge source: parquet dir, .mtx, or .bin")
     pc.add_argument("--mode", choices=["df", "csr"], default="df")
     pc.set_defaults(fn=cmd_cc)
 
     pp = sub.add_parser("pagerank")
-    pp.add_argument("--edges", required=True)
+    pp.add_argument("--edges", required=True,
+                    help="edge source: parquet dir, .mtx, or .bin")
     pp.add_argument("--alpha", type=float, default=0.85)
     pp.add_argument("--tol", type=float, default=1e-8)
     pp.add_argument("--max-iter", type=int, default=100)
@@ -157,7 +189,13 @@ def main(argv: list[str] | None = None) -> int:
     pp.set_defaults(fn=cmd_pagerank)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (GraphFormatError, FileNotFoundError) as exc:
+        # user-input errors: one clear line, no traceback (reference prints
+        # perror + message and exits 1, src/error.c)
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

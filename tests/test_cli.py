@@ -50,3 +50,46 @@ def test_cli_pagerank(ingested, capsys):
     report = json.loads(capsys.readouterr().out.lstrip())
     assert len(report["top10"]) == 10
     assert report["iterations"] <= 10
+
+
+def test_cli_convert_and_file_inputs(ingested, tmp_path, capsys):
+    """convert .mtx -> .bin, then run cc from BOTH file formats: same
+    component count and labels checksum as the parquet path (the reference's
+    converter + loader pipeline, end to end)."""
+    from pds_hw2_mpi_connected_components_spark.sources.graph_io import write_mtx
+    from pds_hw2_mpi_connected_components_spark.plans.session import get_spark
+
+    spark = get_spark(master="local[4]")
+    edges = spark.read.parquet(f"{ingested}/edges.parquet")
+    n = spark.read.parquet(f"{ingested}/vertices.parquet").count()
+    mtx = str(tmp_path / "g.mtx")
+    write_mtx(edges, n, mtx)
+
+    bin_path = str(tmp_path / "g.bin")
+    rc = cli.main(["--master", "local[4]", "convert", mtx, bin_path])
+    assert rc == 0
+    conv = json.loads(capsys.readouterr().out.lstrip())
+    assert conv["nrows"] == n and conv["nnz_expanded"] > 0
+
+    reports = {}
+    for src in (mtx, bin_path):
+        rc = cli.main(["--master", "local[4]", "cc", "-n", "1", "--edges", src])
+        assert rc == 0
+        out = capsys.readouterr().out
+        reports[src] = json.loads(out[out.index("{"):])
+    assert reports[mtx]["result"]["components"] == 5
+    assert (reports[mtx]["result"]["labels_checksum"]
+            == reports[bin_path]["result"]["labels_checksum"])
+
+
+def test_cli_bad_input_is_friendly(tmp_path, capsys):
+    bad = str(tmp_path / "bad.mtx")
+    with open(bad, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern general\n2 2 1\n2 1\n")
+    rc = cli.main(["--master", "local[4]", "cc", "--edges", bad])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert err.startswith("error:") and "Traceback" not in err
+    rc = cli.main(["--master", "local[4]", "cc", "--edges",
+                   str(tmp_path / "missing.mtx")])
+    assert rc == 1

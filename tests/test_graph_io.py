@@ -1,0 +1,170 @@
+"""MatrixMarket + binary-CSC ingestion: roundtrips, format contracts, and a
+known-component-count fixture — the reference's own input formats
+(mtx_to_bin.c, matrix.c) so its public datasets run on this engine."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pds_hw2_mpi_connected_components_spark.operators.cc import cc_count, connected_components
+from pds_hw2_mpi_connected_components_spark.sources.graph_io import (
+    GraphFormatError,
+    read_bin_csc,
+    read_bin_header,
+    read_mtx,
+    write_bin_csc,
+    write_mtx,
+)
+
+# two triangles + a path + two isolates-with-self... 11 vertices, 3 components
+FIXTURE_PAIRS = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (6, 7), (7, 8), (8, 6), (8, 9)]
+FIXTURE_N = 11  # vertex 10 exists but has no edges (dropped by file formats)
+FIXTURE_COMPONENTS_IN_FILE = 3  # {0,1,2}, {3,4,5}, {6,7,8,9}
+
+
+def _edge_set(df):
+    return {(r["src"], r["dst"]) for r in df.collect()}
+
+
+def _sym(pairs):
+    return {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
+
+
+@pytest.fixture()
+def fixture_mtx(tmp_path):
+    p = str(tmp_path / "g.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern symmetric\n")
+        f.write("% comment line\n")
+        f.write("% another comment\n")
+        f.write(f"{FIXTURE_N} {FIXTURE_N} {len(FIXTURE_PAIRS)}\n")
+        for a, b in FIXTURE_PAIRS:
+            # lower triangle, 1-based — the symmetric storage convention
+            f.write(f"{max(a, b) + 1} {min(a, b) + 1}\n")
+    return p
+
+
+def test_read_mtx_expands_symmetric(spark, fixture_mtx):
+    edges, header = read_mtx(spark, fixture_mtx)
+    assert header == {
+        "format": "coordinate", "field": "pattern",
+        "nrows": FIXTURE_N, "ncols": FIXTURE_N, "nnz": len(FIXTURE_PAIRS),
+    }
+    assert _edge_set(edges) == _sym(FIXTURE_PAIRS)
+
+
+def test_mtx_cc_count(spark, fixture_mtx):
+    edges, _ = read_mtx(spark, fixture_mtx)
+    labels, _ = connected_components(edges.localCheckpoint(eager=True))
+    assert cc_count(labels) == FIXTURE_COMPONENTS_IN_FILE
+    got = {r["vid"]: r["label"] for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6, 7: 6, 8: 6, 9: 6}
+
+
+def test_mtx_roundtrip(spark, fixture_mtx, tmp_path):
+    edges, _ = read_mtx(spark, fixture_mtx)
+    out = str(tmp_path / "rt.mtx")
+    stored = write_mtx(edges, FIXTURE_N, out)
+    assert stored == len(FIXTURE_PAIRS)
+    edges2, header2 = read_mtx(spark, out)
+    assert _edge_set(edges2) == _edge_set(edges)
+    assert header2["nnz"] == stored
+
+
+def test_mtx_real_field_drops_zero_values(spark, tmp_path):
+    p = str(tmp_path / "r.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real symmetric\n")
+        f.write("3 3 3\n")
+        f.write("2 1 1.5\n")
+        f.write("3 1 0.0\n")  # explicit zero: dropped (mtx_to_bin.c:138)
+        f.write("3 2 -2.0\n")
+    edges, _ = read_mtx(spark, p)
+    assert _edge_set(edges) == {(1, 0), (0, 1), (2, 1), (1, 2)}
+
+
+def test_mtx_array_format(spark, tmp_path):
+    # dense 2x2 symmetric array, column-major: [[0,1],[1,0]]
+    p = str(tmp_path / "a.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix array real symmetric\n")
+        f.write("2 2\n")
+        for v in ("0.0", "1.0", "1.0", "0.0"):
+            f.write(v + "\n")
+    edges, header = read_mtx(spark, p)
+    assert header["format"] == "array" and header["nnz"] == 4
+    assert _edge_set(edges) == {(0, 1), (1, 0)}
+
+
+def test_mtx_rejects_general_symmetry(spark, tmp_path):
+    p = str(tmp_path / "bad.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern general\n3 3 1\n2 1\n")
+    with pytest.raises(GraphFormatError, match="symmetr"):
+        read_mtx(spark, p)
+
+
+def test_mtx_rejects_out_of_bounds(spark, tmp_path):
+    p = str(tmp_path / "oob.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern symmetric\n3 3 2\n2 1\n4 1\n")
+    with pytest.raises(GraphFormatError, match="out of bounds"):
+        read_mtx(spark, p)
+
+
+def test_bin_roundtrip_and_layout(spark, fixture_mtx, tmp_path):
+    edges, _ = read_mtx(spark, fixture_mtx)
+    p = str(tmp_path / "g.bin")
+    nnz = write_bin_csc(edges, FIXTURE_N, FIXTURE_N, p)
+    assert nnz == 2 * len(FIXTURE_PAIRS)  # expanded adjacency, no self loops
+    assert read_bin_header(p) == {"nrows": FIXTURE_N, "ncols": FIXTURE_N, "nnz": nnz}
+
+    # byte-level contract: independent struct/numpy parse (matrix.c:111-116)
+    with open(p, "rb") as f:
+        nrows, ncols, n2 = struct.unpack("<IIQ", f.read(16))
+        col_ptr = np.fromfile(f, dtype=np.uint32, count=ncols + 1)
+        row_idx = np.fromfile(f, dtype=np.uint32, count=n2)
+    assert (nrows, ncols, n2) == (FIXTURE_N, FIXTURE_N, nnz)
+    assert col_ptr[0] == 0 and col_ptr[-1] == nnz
+    assert np.all(np.diff(col_ptr.astype(np.int64)) >= 0)
+    manual = {
+        (int(row_idx[k]), c)
+        for c in range(ncols)
+        for k in range(col_ptr[c], col_ptr[c + 1])
+    }
+    assert manual == _edge_set(edges)
+
+    edges2, header2 = read_bin_csc(spark, p, num_partitions=4)
+    assert header2["nnz"] == nnz
+    assert _edge_set(edges2) == _edge_set(edges)
+
+
+def test_bin_reader_partition_independent(spark, fixture_mtx, tmp_path):
+    edges, _ = read_mtx(spark, fixture_mtx)
+    p = str(tmp_path / "g.bin")
+    write_bin_csc(edges, FIXTURE_N, FIXTURE_N, p)
+    sets = [
+        _edge_set(read_bin_csc(spark, p, num_partitions=k)[0]) for k in (1, 3, 16)
+    ]
+    assert sets[0] == sets[1] == sets[2] == _edge_set(edges)
+
+
+def test_bin_cc_matches_mtx_cc(spark, fixture_mtx, tmp_path):
+    edges, _ = read_mtx(spark, fixture_mtx)
+    p = str(tmp_path / "g.bin")
+    write_bin_csc(edges, FIXTURE_N, FIXTURE_N, p)
+    edges2, _ = read_bin_csc(spark, p)
+    labels, _ = connected_components(edges2.localCheckpoint(eager=True))
+    assert cc_count(labels) == FIXTURE_COMPONENTS_IN_FILE
+
+
+def test_bin_empty_graph(spark, tmp_path):
+    p = str(tmp_path / "e.bin")
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert write_bin_csc(empty, 5, 5, p) == 0
+    edges, header = read_bin_csc(spark, p)
+    assert header["nnz"] == 0 and edges.count() == 0
