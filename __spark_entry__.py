@@ -215,8 +215,13 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_docs(spark, sf_dir))
 
 
+_JACCARD_MAX_DF = 100  # document-frequency cutoff, mirrored in the oracle
+
+
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, block_col="source")
+    return jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.5, block_col="source", max_df=_JACCARD_MAX_DF
+    )
 
 
 def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,7 +562,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "jaccard_pairs": f"""
-            WITH toks AS ({_TOKS_SQL}),
+            WITH toks0 AS ({_TOKS_SQL}),
+            dfreq AS (SELECT tok FROM toks0 GROUP BY tok HAVING count(*) <= {_JACCARD_MAX_DF}),
+            toks AS (SELECT t.id, t.tok FROM toks0 t JOIN dfreq USING (tok)),
             tb AS (SELECT t.id, t.tok, d.source AS blk
                    FROM toks t JOIN documents d ON t.id = d.doc_id),
             sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),

@@ -31,11 +31,18 @@ from pds_hw2_mpi_connected_components_spark.operators.csr import (  # noqa: E402
     connected_components_csr,
     pagerank_csr,
 )
-from pds_hw2_mpi_connected_components_spark.operators.dedup import exact_duplicates, minhash_signatures  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.operators.dedup import (  # noqa: E402
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_signatures,
+)
 from pds_hw2_mpi_connected_components_spark.operators.degrees import degree_table  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.operators.labelprop import label_propagation  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.operators.pagerank import pagerank  # noqa: E402
-from pds_hw2_mpi_connected_components_spark.operators.similarity import cosine_topk  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.operators.similarity import (  # noqa: E402
+    ann_topk_lsh,
+    cosine_topk,
+)
 from pds_hw2_mpi_connected_components_spark.operators.triangles import triangle_count  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.plans.session import get_spark  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.sources.datagen import generate_pages  # noqa: E402
@@ -107,6 +114,21 @@ def main() -> None:
     q = emb.where(F.col("vec_id") < 16).select(F.col("vec_id").alias("id"), "embedding")
     c = emb.select(F.col("vec_id").alias("id"), "embedding")
     timed("ann_topk", lambda: cosine_topk(q, c, k=10).count())
+    timed("ann_topk_lsh", lambda: ann_topk_lsh(
+        emb, emb.where(F.col("vec_id") < 16).select("vec_id"), k=10, n_planes=6).count())
+
+    # -- skew guard: exact Jaccard on a corpus with a universal hot token --
+    # Every doc shares token "the"; without the max_df cutoff the pair join
+    # on that key alone is n^2/2 rows (~2e8 at n=20k: effectively a hang).
+    # With the cutoff the per-token fan-out is bounded by max_df^2.
+    n_hot = 20_000
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the common filler u"), F.col("id").cast("string"),
+                 F.lit(" v"), (F.col("id") * 7 % 997).cast("string")).alias("text"),
+        (F.col("id") % 8).cast("string").alias("source"),
+    ).localCheckpoint(eager=True)
+    timed("jaccard_hot20k", lambda: jaccard_pairs(hot, threshold=0.3, max_df=100).count())
 
     # -- relational legs ---------------------------------------------------
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

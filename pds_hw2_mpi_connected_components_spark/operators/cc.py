@@ -45,7 +45,38 @@ def _checksum(edges: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _min_per_key(edges: DataFrame, salt_buckets: int) -> DataFrame:
+    """(u, mn) = min(v) per u. With salting: two-stage min — (u, salt)
+    partials spread a hub key over salt_buckets reducers before the final
+    tiny (u) min. Exact for min (associative), so salted output is
+    identical to plain (tested)."""
+    if salt_buckets > 0:
+        return (
+            edges.withColumn("_s", F.pmod(F.xxhash64("v"), F.lit(salt_buckets)))
+            .groupBy("u", "_s").agg(F.min("v").alias("pm"))
+            .groupBy("u").agg(F.min("pm").alias("mn"))
+        )
+    return edges.groupBy("u").agg(F.min("v").alias("mn"))
+
+
+def _salted_join(nbrs: DataFrame, mins: DataFrame, salt_buckets: int) -> DataFrame:
+    """nbrs ⋈ mins on u. With salting: mins (one row per u) is replicated
+    across salt_buckets and nbrs rows pick a deterministic bucket from v, so
+    a 10^8-degree hub's neighborhood spreads over salt_buckets tasks instead
+    of one reducer owning it all (SURVEY.md §4 X6; the reference's
+    schedule(guided) analog, /root/reference/src/connected_components.c:109).
+    AQE skew-join splits oversized partitions too, but only post-shuffle and
+    only for sort-merge plans — explicit salting also covers the
+    shuffle-hash path and bounds the build side."""
+    if salt_buckets <= 0:
+        return nbrs.join(mins, "u")
+    salts = nbrs.sparkSession.range(salt_buckets).select(F.col("id").cast("long").alias("_s"))
+    mins_rep = mins.crossJoin(F.broadcast(salts))
+    salted = nbrs.withColumn("_s", F.pmod(F.xxhash64("v"), F.lit(salt_buckets)))
+    return salted.join(mins_rep, ["u", "_s"]).drop("_s")
+
+
+def _large_star(edges: DataFrame, salt_buckets: int = 0) -> DataFrame:
     """Connect every neighbor v > u to m = min(N(u) ∪ {u}).
 
     Output rows are (v, m) with v > u >= m, i.e. already oriented
@@ -54,13 +85,11 @@ def _large_star(edges: DataFrame) -> DataFrame:
     because v may receive the same m from several centers u.
     """
     nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = (
-        nbrs.groupBy("u")
-        .agg(F.min("v").alias("mn"))
-        .select("u", F.least("mn", "u").alias("m"))
+    mins = _min_per_key(nbrs, salt_buckets).select(
+        "u", F.least("mn", "u").alias("m")
     )
     return (
-        nbrs.join(mins, "u")
+        _salted_join(nbrs, mins, salt_buckets)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -68,13 +97,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(oriented: DataFrame) -> DataFrame:
+def _small_star(oriented: DataFrame, salt_buckets: int = 0) -> DataFrame:
     """Input must be oriented (u, v) with u > v, deduplicated (which is what
     _large_star emits). Connect all smaller neighbors (and u itself) to the
     minimum neighbor. Output again oriented (larger, smaller): every emitted
     (x, m) has m = min(N(u) ∪ {u}) <= x."""
-    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
-    nb = oriented.join(mins, "u")
+    mins = _min_per_key(oriented, salt_buckets).withColumnRenamed("mn", "m")
+    nb = _salted_join(oriented, mins, salt_buckets)
     out = nb.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
         mins.select("u", F.col("m").alias("v"))
     )
@@ -86,6 +115,7 @@ def connected_components(
     vertices: Optional[DataFrame] = None,
     checkpoint: Optional[CheckpointStore] = None,
     max_rounds: int = MAX_ROUNDS,
+    salt_buckets: int = 0,
 ) -> tuple[DataFrame, list[dict]]:
     """Labels for every vertex: (vid long, label long), label = min vid of
     the component (exact reference fixpoint).
@@ -93,7 +123,10 @@ def connected_components(
     ``edges``: (src,dst) directed or undirected — treated as undirected.
     ``vertices``: optional (vid) universe; vertices absent from edges get
     label = vid (isolates). ``checkpoint``: persists each round + metrics so
-    a killed run resumes mid-iteration.
+    a killed run resumes mid-iteration. ``salt_buckets``: spread hub-vertex
+    keys over this many reducers in every star round's min-agg and join
+    (exact — min is associative; output is identical, tested); 0 = rely on
+    AQE skew handling alone.
     """
     spark = edges.sparkSession
     e = (
@@ -119,7 +152,7 @@ def connected_components(
     metrics: list[dict] = []
     for rnd in range(start_round, max_rounds):
         t0 = time.monotonic()
-        nxt = _small_star(_large_star(e))
+        nxt = _small_star(_large_star(e, salt_buckets), salt_buckets)
         if checkpoint is not None:
             nxt = checkpoint.write("cc_edges", rnd, nxt,
                                    meta={"checksum": None})  # checksum patched below

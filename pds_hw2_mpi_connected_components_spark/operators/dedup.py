@@ -61,13 +61,25 @@ def jaccard_pairs(
     block_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard over pairs sharing a blocking key.
 
     (a, b, jac_r) with a < b and round(jaccard,4) >= threshold. The blocking
     key bounds the pair space (at web scale the block is an LSH bucket; here
-    the `source` column plays that role so the oracle stays cheap)."""
+    the `source` column plays that role so the oracle stays cheap).
+
+    ``max_df``: drop tokens appearing in more than max_df documents BEFORE
+    the pair join (Jaccard is then computed over the filtered token sets —
+    standard stop-token removal). This is the skew guard: the join key is
+    the raw token, and without a cutoff a stopword like "the" carries ~n
+    rows, making one reducer's output ~n^2/blocks at web scale. With the
+    cutoff, any token's join fan-out is bounded by max_df^2. Costs one extra
+    cheap aggregation (the document-frequency count)."""
     toks = tokens(df, id_col, text_col)
+    if max_df is not None:
+        dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+        toks = toks.join(dfreq.where(F.col("df") <= max_df).select("tok"), "tok")
     blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
     t = toks.join(blocks, "id")
     sizes = t.groupBy("id").agg(F.count("*").alias("sz"))
@@ -93,16 +105,22 @@ def jaccard_pairs(
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, i, mh): minhash value for each of the k hash functions."""
+    """(id, i, mh): minhash value for each of the k hash functions.
+
+    All k mins are computed as one projection + ONE groupBy(id) with k min
+    aggregates (map-side partial agg), then unpivoted — the shuffle carries
+    one row of k longs per doc. (Round 1 crossJoined tokens with the k
+    params first: k x the shuffle rows BEFORE aggregation; measured ~2x
+    slower on the bench.)"""
     toks = tokens(df, id_col, text_col).withColumn("h", portable_token_hash(F.col("tok"), P))
-    params = toks.sparkSession.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PARAMS)], "i int, a long, b long"
-    )
-    return (
-        toks.crossJoin(F.broadcast(params))
-        .groupBy("id", "i")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % F.lit(P)).alias("mh"))
-    )
+    k = len(MINHASH_PARAMS)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    wide = toks.groupBy("id").agg(*aggs)
+    stack = ", ".join(f"{i}, mh{i}" for i in range(k))
+    return wide.select("id", F.expr(f"stack({k}, {stack}) AS (i, mh)"))
 
 
 def minhash_lsh_candidates(

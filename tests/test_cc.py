@@ -56,3 +56,27 @@ def test_cc_random_vs_union_find(spark):
     )
     got = {r["vid"]: r["label"] for r in labels.collect()}
     assert got == cc_oracle(pairs, vertices=range(n))
+
+
+@pytest.mark.parametrize("name", ["star_hub", "two_cliques_bridge", "cycle6"])
+def test_cc_salted_identical_to_plain(spark, name):
+    """Hub salting (SURVEY §4 X6) must be a pure physical rewrite: min is
+    associative, so two-stage salted min + salted join give bit-identical
+    labels."""
+    pairs, want_count = FIXTURES[name]
+    plain, _ = connected_components(make_edges(spark, pairs))
+    salted, _ = connected_components(make_edges(spark, pairs), salt_buckets=4)
+    assert ({(r["vid"], r["label"]) for r in plain.collect()}
+            == {(r["vid"], r["label"]) for r in salted.collect()})
+    assert cc_count(salted) == want_count
+
+
+def test_cc_salted_random_hub_graph(spark):
+    """A 10^3-degree hub + random tail: salted == plain == union-find."""
+    rng = random.Random(11)
+    hub_pairs = [(0, k) for k in range(1, 1000)]
+    tail = [(rng.randrange(1000, 1200), rng.randrange(1000, 1200)) for _ in range(300)]
+    pairs = hub_pairs + [(a, b) for a, b in tail if a != b]
+    salted, _ = connected_components(make_edges(spark, pairs), salt_buckets=8)
+    got = {r["vid"]: r["label"] for r in salted.collect()}
+    assert got == cc_oracle(pairs)
