@@ -12,8 +12,9 @@ implementation.
 same parquet tables. Graph queries run over edge tables derived with
 portable integer arithmetic (see
 pds_hw2_mpi_connected_components_spark/sources/doc_edges.py) so both
-engines see identical edges. PageRank is registered rows-only (iterative
-fixpoint; not cleanly SQL-expressible).
+engines see identical edges. Iterative queries are value-checked too:
+PageRank's oracle is the fixed-iteration power method unrolled as chained
+MATERIALIZED CTEs.
 """
 
 from __future__ import annotations
@@ -100,6 +101,23 @@ def _q_cc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.agg(F.countDistinct("label").alias("n_components"))
 
 
+def _q_cc_labels_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third CC execution mode (frontier-broadcast gather-scatter,
+    operators/frontier.py) against the SAME label truth as
+    cc_labels_blocked — threshold forces broadcast rounds after round 0 so
+    the Arrow gather-scatter path is what the driver actually checks."""
+    from pds_hw2_mpi_connected_components_spark.operators.frontier import (
+        connected_components_frontier,
+    )
+
+    labels, _ = connected_components_frontier(
+        doc_edges_blocked(spark, sf_dir),
+        vertices=doc_vertices(spark, sf_dir),
+        broadcast_threshold=10**9,
+    )
+    return labels.select("vid", "label")
+
+
 def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_table(doc_edges_global(spark, sf_dir))
 
@@ -139,6 +157,25 @@ def _q_mtx_cc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.localCheckpoint(eager=True), vertices=doc_vertices(spark, sf_dir)
     )
     return labels.agg(F.countDistinct("label").alias("n_components"))
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction value-checked end to end: the
+    deterministic fake-rgb8 media table (pure integer arithmetic — so DuckDB
+    can regenerate payload bytes exactly) through the batch-vectorized
+    histogram featurizer, exploded to (media_id, idx, val_r). The oracle
+    mirrors the float pipeline: integer counts -> exact float64 norm ->
+    float32 quantization -> round(4)."""
+    from pds_hw2_mpi_connected_components_spark.sources.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, 64)
+    feats = extract_features(media, n_bins=16)
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("idx", "v")
+    ).select("media_id", "idx", F.round(F.col("v").cast("double"), 4).alias("val_r"))
 
 
 _PR_ITERS = 40  # fixed iteration count shared by the Spark query and the oracle
@@ -341,6 +378,39 @@ def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling aggregation as events_tumbling, but computed by a
+    real Structured Streaming query (file source, micro-batches, memory
+    sink, complete mode) — so stream/batch parity is a driver-checked value
+    contract, not just a pytest. Oracle: identical SQL to events_tumbling."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pds_hw2_mpi_connected_components_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        tumbling_counts_stream,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="events_stream_")
+    # FileStreamSource needs a directory; sf events.parquet is a single file
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/part-0.parquet")
+    stream = tumbling_counts_stream(read_events_stream(spark, src_dir))
+    name = f"ev_tumbling_{uuid.uuid4().hex[:8]}"
+    # complete mode: every window emitted regardless of watermark close, so
+    # the bounded stream's final table equals the batch aggregation exactly
+    q = run_stream_to_memory(stream, name, mode="complete")
+    q.stop()
+    out = spark.table(name)
+    return out.select(
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        "event_type",
+        "n",
+        F.round("value_sum", 2).alias("value_r"),
+    )
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -412,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_labels_blocked": _q_cc_labels,
         "cc_count_blocked": _q_cc_count,
         "mtx_cc_count": _q_mtx_cc_count,
+        "cc_labels_frontier": _q_cc_labels_frontier,
         "degrees_global": _q_degrees,
         "symmetrize_blocked": _q_symmetrize,
         "triangles_blocked": _q_triangles,
@@ -430,7 +501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "orders_top3": _q_orders_top3,
         "nation_rollup": _q_nation_rollup,
+        "media_features": _q_media_features,
         "events_tumbling": _q_events_tumbling,
+        "events_tumbling_stream": _q_events_tumbling_stream,
         "events_sessionize": _q_events_sessionize,
         "cube_orders": _q_cube_orders,
         "pivot_events": _q_pivot_events,
@@ -475,6 +548,18 @@ def _sw_hits_sql(expr: str) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "cc_labels_blocked": f"""
+            WITH RECURSIVE e AS ({EDGES_BLOCKED_SQL}),
+            sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            walk(v, m) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.dst, w.m FROM walk w JOIN sym s ON s.src = w.v
+            )
+            SELECT v AS vid, min(m) AS label FROM walk GROUP BY v
+        """,
+        # same truth as cc_labels_blocked, computed by the frontier-broadcast
+        # execution mode on the Spark side
+        "cc_labels_frontier": f"""
             WITH RECURSIVE e AS ({EDGES_BLOCKED_SQL}),
             sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
             walk(v, m) AS (
@@ -677,6 +762,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "events_tumbling": """
+            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS ws, event_type,
+                   count(*) AS n, round(sum(value), 2) AS value_r
+            FROM events GROUP BY 1, 2
+        """,
+        # regenerate the fake-rgb8 payload bytes ((k*(id+1)) % 251 at byte k,
+        # w=8+id%8, h=8+3id%8 — sources/multimodal.synth_media) and the
+        # histogram featurizer's exact float path
+        "media_features": """
+            WITH m AS (SELECT i AS media_id, 8 + i % 8 AS w, 8 + (i * 3) % 8 AS h
+                       FROM range(64) t(i)),
+            -- duckdb 1.0 generate_series can't take lateral column args:
+            -- generate to the max payload size (15*15*3) and filter
+            b AS (SELECT media_id, k % 3 AS ch, ((k * (media_id + 1)) % 251) // 16 AS bin
+                  FROM m, generate_series(0, 674) s(k) WHERE k < w * h * 3),
+            counts AS (SELECT media_id, ch, bin, count(*) AS c FROM b GROUP BY 1, 2, 3),
+            slots AS (SELECT m.media_id, ch.ch, bin.bin
+                      FROM m, range(3) ch(ch), range(16) bin(bin)),
+            fullh AS (SELECT s.media_id, s.ch, s.bin, coalesce(c.c, 0) AS c
+                      FROM slots s LEFT JOIN counts c
+                        ON s.media_id = c.media_id AND s.ch = c.ch AND s.bin = c.bin),
+            norms AS (SELECT media_id, sqrt(sum(CAST(c * c AS DOUBLE))) AS nrm
+                      FROM fullh GROUP BY 1)
+            SELECT f.media_id, CAST(f.ch * 16 + f.bin AS INTEGER) AS idx,
+                   round(CAST(CAST(CASE WHEN n.nrm = 0 THEN f.c
+                                        ELSE f.c / n.nrm END AS REAL) AS DOUBLE), 4) AS val_r
+            FROM fullh f JOIN norms n ON f.media_id = n.media_id
+        """,
+        # the STREAMING execution of the same aggregation must match the
+        # same batch truth
+        "events_tumbling_stream": """
             SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS ws, event_type,
                    count(*) AS n, round(sum(value), 2) AS value_r
             FROM events GROUP BY 1, 2

@@ -37,6 +37,9 @@ from pds_hw2_mpi_connected_components_spark.operators.dedup import (  # noqa: E4
     minhash_signatures,
 )
 from pds_hw2_mpi_connected_components_spark.operators.degrees import degree_table  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.operators.frontier import (  # noqa: E402
+    connected_components_frontier,
+)
 from pds_hw2_mpi_connected_components_spark.operators.labelprop import label_propagation  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.operators.pagerank import pagerank  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.operators.similarity import (  # noqa: E402
@@ -100,6 +103,8 @@ def main() -> None:
 
     timed("doc_cc_global", lambda: connected_components(eg, vertices=verts)[0].count())
     timed("doc_cc_global_csr", lambda: connected_components_csr(eg, vertices=verts)[0].count())
+    timed("doc_cc_global_frontier", lambda: connected_components_frontier(
+        eg, vertices=verts, broadcast_threshold=100_000)[0].count())
     timed("doc_pagerank_20it", lambda: pagerank(eg, vertices=verts, tol=0.0, max_iter=20)[0].count())
     timed("doc_pagerank_20it_csr", lambda: pagerank_csr(eg, vertices=verts, tol=0.0, max_iter=20)[0].count())
     timed("doc_labelprop_5it", lambda: label_propagation(symmetrize(eb), vertices=verts, max_iter=5)[0].count())

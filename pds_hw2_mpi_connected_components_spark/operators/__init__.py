@@ -3,3 +3,4 @@ from .pagerank import pagerank  # noqa: F401
 from .labelprop import label_propagation  # noqa: F401
 from .triangles import triangle_count, triangles_per_graph  # noqa: F401
 from .degrees import degree_table  # noqa: F401
+from .frontier import connected_components_frontier  # noqa: F401

@@ -79,22 +79,51 @@ def decode_image(payload: bytes, fmt: str, width: int, height: int) -> np.ndarra
 FEATURE_SCHEMA = "media_id long, feature array<float>"
 
 
+def _batch_buffer(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate a batch's payloads into ONE uint8 buffer + per-row
+    (start, length) offsets — the whole batch is then processed with flat
+    numpy ops, no per-row Python. Raises for non-fake codecs exactly like
+    decode_image."""
+    bad = set(pdf["fmt"].unique()) - FAKE_FORMATS
+    if bad:
+        raise NotImplementedError(
+            f"codec(s) {sorted(bad)!r} require an image library not present in this sandbox"
+        )
+    payloads = pdf["payload"].to_list()
+    lengths = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    return buf, starts, lengths
+
+
 def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
-    """Decode + per-channel histogram features, Arrow-batched. Output is the
-    narrow (media_id, feature float[48]) table for ANN/dedup."""
+    """Decode + per-channel histogram features, Arrow-batched AND batch-
+    vectorized: one flat bincount over (row, channel, bin) keys per Arrow
+    batch — no per-row Python (round 1 ran iterrows + np.histogram per row).
+    Requires 256 % n_bins == 0 so the bin of a byte is v * n_bins // 256
+    (identical to np.histogram(range=(0,255)) for uint8 — proven in tests).
+    Output is the narrow (media_id, feature float[3*n_bins]) table for
+    ANN/dedup."""
+    assert 256 % n_bins == 0, "n_bins must divide 256"
+    width = 3 * n_bins
+
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for _, r in pdf.iterrows():
-                img = decode_image(r["payload"], r["fmt"], r["width"], r["height"])
-                hist = [
-                    np.histogram(img[:, :, c], bins=n_bins, range=(0, 255))[0]
-                    for c in range(3)
-                ]
-                f = np.concatenate(hist).astype(np.float64)
-                norm = np.linalg.norm(f)
-                feats.append((f / norm if norm else f).astype(np.float32))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+            if not len(pdf):
+                continue
+            buf, starts, lengths = _batch_buffer(pdf)
+            n = len(pdf)
+            row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            pos_in_row = np.arange(buf.size, dtype=np.int64) - np.repeat(starts, lengths)
+            channel = pos_in_row % 3
+            bins = (buf.astype(np.int64) * n_bins) >> 8
+            keys = row_of * width + channel * n_bins + bins
+            counts = np.bincount(keys, minlength=n * width).reshape(n, width).astype(np.float64)
+            norms = np.linalg.norm(counts, axis=1, keepdims=True)
+            feats = (counts / np.where(norms == 0, 1.0, norms)).astype(np.float32)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "feature": list(feats)}
+            )
 
     return media.select("media_id", "fmt", "width", "height", "payload").mapInPandas(
         featurize, schema=FEATURE_SCHEMA
@@ -109,17 +138,32 @@ def resize_image(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     beyond decode). Emits the same media schema with fmt preserved."""
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                img = decode_image(r["payload"], r["fmt"], r["width"], r["height"])
-                yi = (np.arange(out_h) * r["height"] // out_h).astype(int)
-                xi = (np.arange(out_w) * r["width"] // out_w).astype(int)
-                small = img[np.ix_(yi, xi)]
-                payload = small.astype(np.uint8).tobytes()
-                rows.append((r["media_id"], r["kind"], r["fmt"], out_w, out_h,
-                             len(payload), payload))
-            yield pd.DataFrame(rows, columns=[
-                "media_id", "kind", "fmt", "width", "height", "n_bytes", "payload"])
+            if not len(pdf):
+                continue
+            buf, starts, _lengths = _batch_buffer(pdf)
+            n = len(pdf)
+            w = pdf["width"].to_numpy().astype(np.int64)
+            h = pdf["height"].to_numpy().astype(np.int64)
+            # one flat gather for the whole batch: index of sample (r, y, x, c)
+            # = start[r] + (yi[r,y] * w[r] + xi[r,x]) * 3 + c
+            yi = (np.arange(out_h, dtype=np.int64)[None, :] * h[:, None]) // out_h
+            xi = (np.arange(out_w, dtype=np.int64)[None, :] * w[:, None]) // out_w
+            flat = (
+                starts[:, None, None, None]
+                + (yi[:, :, None, None] * w[:, None, None, None] + xi[:, None, :, None]) * 3
+                + np.arange(3, dtype=np.int64)[None, None, None, :]
+            )
+            small = buf[flat].reshape(n, out_h * out_w * 3)
+            out_bytes = out_h * out_w * 3
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "fmt": pdf["fmt"],
+                "width": np.full(n, out_w, dtype=np.int32),
+                "height": np.full(n, out_h, dtype=np.int32),
+                "n_bytes": np.full(n, out_bytes, dtype=np.int64),
+                "payload": [r.tobytes() for r in small],
+            })
 
     return media.mapInPandas(resize, schema=RESIZE_SCHEMA)
 

@@ -97,3 +97,41 @@ def test_frame_sample_shape(spark):
     frames = frame_sample(synth_media(spark, 5, kind="video"))
     assert frames.count() == 5
     assert frames.columns == ["media_id", "frame_idx", "fmt", "width", "height", "payload"]
+
+
+def test_features_match_per_row_histogram_reference(spark):
+    """The batch-vectorized flat bincount must equal the naive per-row
+    np.histogram implementation exactly (incl. the v*n_bins>>8 binning
+    equivalence for uint8)."""
+    import numpy as np
+
+    from pds_hw2_mpi_connected_components_spark.sources.multimodal import decode_image
+
+    media = synth_media(spark, 40)
+    rows = media.collect()
+    got = {r["media_id"]: np.array(r["feature"]) for r in extract_features(media).collect()}
+    for r in rows:
+        img = decode_image(r["payload"], r["fmt"], r["width"], r["height"])
+        hist = [np.histogram(img[:, :, c], bins=16, range=(0, 255))[0] for c in range(3)]
+        f = np.concatenate(hist).astype(np.float64)
+        norm = np.linalg.norm(f)
+        want = (f / norm if norm else f).astype(np.float32)
+        assert np.array_equal(got[r["media_id"]], want), r["media_id"]
+
+
+def test_resize_matches_per_row_reference(spark):
+    import numpy as np
+
+    from pds_hw2_mpi_connected_components_spark.sources.multimodal import decode_image
+
+    media = synth_media(spark, 25)
+    rows = {r["media_id"]: r for r in media.collect()}
+    small = {r["media_id"]: r for r in resize_image(media, 5, 3).collect()}
+    for mid, r in rows.items():
+        img = decode_image(r["payload"], r["fmt"], r["width"], r["height"])
+        yi = (np.arange(3) * r["height"] // 3).astype(int)
+        xi = (np.arange(5) * r["width"] // 5).astype(int)
+        want = img[np.ix_(yi, xi)].tobytes()
+        s = small[mid]
+        assert (s["width"], s["height"], s["n_bytes"]) == (5, 3, len(want))
+        assert bytes(s["payload"]) == want

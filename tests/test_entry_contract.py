@@ -31,8 +31,9 @@ def test_every_query_has_oracle_or_is_documented():
     qs, osql = entry.queries(), entry.oracle_sql()
     assert set(osql) <= set(qs)
     rows_only = set(qs) - set(osql)
-    # only genuinely non-SQL-expressible ops may skip the oracle
-    assert rows_only == {"pagerank_global"}
+    # since round 2 every query has a value oracle (PageRank's is a fixed-k
+    # power iteration unrolled as chained CTEs)
+    assert rows_only == set()
 
 
 @pytest.mark.parametrize("name", sorted(entry.oracle_sql().keys()))
