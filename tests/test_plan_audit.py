@@ -46,6 +46,11 @@ def any_exchanges(df) -> int:
 def no_aqe(spark):
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # hermetic planning: cached relations left by earlier tests make
+    # CacheManager substitute InMemoryTableScans into OUR plans (observed as
+    # a flaky extra/missing exchange when the whole suite runs in one
+    # session)
+    spark.catalog.clearCache()
     yield spark
     spark.conf.set("spark.sql.adaptive.enabled", prev)
 
