@@ -261,6 +261,27 @@ def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jaccard_ngram2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # word-2-gram shingle Jaccard; shingle df is naturally low (max 46 at
+    # sf0.01) so no max_df cutoff is needed here
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.1, block_col="source", ngram=2)
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pds_hw2_mpi_connected_components_spark.functions.text import (
+        token_count,
+        token_count_regex,
+    )
+
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_ws"),
+        token_count_regex(t).alias("n_bpe"),
+    )
+
+
 def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(_docs(spark, sf_dir))
 
@@ -491,6 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": _q_extract_text,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard,
+        "jaccard_ngram2": _q_jaccard_ngram2,
+        "token_counts": _q_token_counts,
         "minhash_signatures": _q_minhash_sig,
         "minhash_lsh_candidates": _q_minhash_lsh,
         "simhash16": _q_simhash,
@@ -662,6 +685,35 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jac_r
             FROM pairs JOIN sizes sa ON pairs.a = sa.id JOIN sizes sb ON pairs.b = sb.id
             WHERE round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) >= 0.5
+        """,
+        "jaccard_ngram2": """
+            WITH toks AS (
+              SELECT DISTINCT id, tok FROM (
+                SELECT doc_id AS id,
+                       unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                              i -> array_to_string(t[i:i+1], ' '))) AS tok
+                FROM (SELECT doc_id,
+                             list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS t
+                      FROM documents) z ) y
+            ),
+            tb AS (SELECT t.id, t.tok, d.source AS blk
+                   FROM toks t JOIN documents d ON t.id = d.doc_id),
+            sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+            pairs AS (
+                SELECT x.id AS a, y.id AS b, count(*) AS inter
+                FROM tb x JOIN tb y ON x.tok = y.tok AND x.blk = y.blk AND x.id < y.id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jac_r
+            FROM pairs JOIN sizes sa ON pairs.a = sa.id JOIN sizes sb ON pairs.b = sb.id
+            WHERE round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) >= 0.1
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')) AS BIGINT) AS n_ws,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '\w+|[^\w\s]')) AS BIGINT) AS n_bpe
+            FROM documents
         """,
         "minhash_signatures": _MINHASH_SIG_SQL,
         "minhash_lsh_candidates": f"""

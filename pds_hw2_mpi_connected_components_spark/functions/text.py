@@ -26,6 +26,17 @@ def token_count(text: Column) -> Column:
     return F.size(F.filter(F.split(text, " "), lambda x: x != "")).cast("long")
 
 
+BPE_TOKEN_RE = r"\w+|[^\w\s]"  # word pieces + isolated punctuation
+
+
+def token_count_regex(text: Column) -> Column:
+    """BPE-ish token count: runs of word chars plus single non-space
+    punctuation — the pre-tokenization split most BPE vocabularies apply.
+    DuckDB twin: len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) (both
+    engines treat \\w as ASCII [0-9A-Za-z_])."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
 def token_chars(text: Column) -> Column:
     """Total characters across tokens (= non-space characters).
     DuckDB twin: length(replace(text, ' ', ''))."""

@@ -44,6 +44,25 @@ def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Dat
     )
 
 
+def shingles(df: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, tok) distinct word n-gram shingles (space-joined runs of n
+    consecutive non-empty tokens). Pure JVM array expressions — the shingle
+    set is what MinHash/Jaccard operate on when token-level granularity is
+    too coarse."""
+    toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda x: x != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("tok"))
+        .distinct()
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(text_hash, n_docs, min_doc): one row per distinct normalized text.
     n_docs > 1 rows are the duplicate groups."""
@@ -62,8 +81,11 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
     """Exact token-set Jaccard over pairs sharing a blocking key.
+    ``ngram`` > 1 computes Jaccard over word n-gram shingles instead of
+    single tokens (rarer units => sharper similarity, smaller df skew).
 
     (a, b, jac_r) with a < b and round(jaccard,4) >= threshold. The blocking
     key bounds the pair space (at web scale the block is an LSH bucket; here
@@ -76,7 +98,7 @@ def jaccard_pairs(
     rows, making one reducer's output ~n^2/blocks at web scale. With the
     cutoff, any token's join fan-out is bounded by max_df^2. Costs one extra
     cheap aggregation (the document-frequency count)."""
-    toks = tokens(df, id_col, text_col)
+    toks = tokens(df, id_col, text_col) if ngram <= 1 else shingles(df, ngram, id_col, text_col)
     if max_df is not None:
         dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
         toks = toks.join(dfreq.where(F.col("df") <= max_df).select("tok"), "tok")

@@ -1,0 +1,54 @@
+"""Word n-gram shingles + n-gram Jaccard on documents with real near-dups
+(the testdata corpus is too templated to exercise thresholds)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pds_hw2_mpi_connected_components_spark.operators.dedup import jaccard_pairs, shingles
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "a"),
+    (1, "the quick brown fox jumps over the sleepy dog", "a"),  # near-dup of 0
+    (2, "completely different text with unique words here", "a"),
+    (3, "the quick brown fox jumps over the lazy dog", "b"),    # dup of 0, other block
+    (4, "one", "a"),                                            # shorter than the shingle
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def test_shingles_exact(spark, docs):
+    got = {(r["id"], r["tok"]) for r in shingles(docs, 2).collect() if r["id"] == 0}
+    want = {(0, t) for t in [
+        "the quick", "quick brown", "brown fox", "fox jumps",
+        "jumps over", "over the", "the lazy", "lazy dog",
+    ]}
+    assert got == want
+    # doc 4 has 1 token -> no 2-gram shingles
+    assert not [r for r in shingles(docs, 2).collect() if r["id"] == 4]
+
+
+def _py_jaccard(a: str, b: str, n: int) -> float:
+    def sh(t):
+        w = [x for x in t.split(" ") if x]
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_vs_python_oracle(spark, docs):
+    got = {(r["a"], r["b"]): r["jac_r"] for r in
+           jaccard_pairs(docs, threshold=0.2, ngram=2).collect()}
+    # same block, above threshold: (0,1) only — (0,3) is cross-block, 2 vs others too low
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] == pytest.approx(round(_py_jaccard(DOCS[0][1], DOCS[1][1], 2), 4))
+
+
+def test_ngram_vs_token_jaccard_sharper(spark, docs):
+    tok = {(r["a"], r["b"]): r["jac_r"] for r in jaccard_pairs(docs, threshold=0.0).collect()}
+    ng = {(r["a"], r["b"]): r["jac_r"] for r in jaccard_pairs(docs, threshold=0.0, ngram=2).collect()}
+    # shingles penalize the single-word substitution more than token sets do
+    assert ng[(0, 1)] < tok[(0, 1)]
