@@ -321,6 +321,14 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, q, k=10, n_planes=6, seed=7)
 
 
+def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pds_hw2_mpi_connected_components_spark.operators.similarity import ann_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).select("vec_id")
+    return ann_topk_ivf(emb, q, k=10, n_centroids=16, nprobe=2)
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # testdata embeddings are near-random (max cosine ~0.46): threshold 0.3
@@ -520,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_near_dups": _q_embedding_near_dups,
         "tpch_q1": _q_tpch_q1,
         "orders_top3": _q_orders_top3,
@@ -773,6 +782,34 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT q.qid AS query_id, c.id AS neighbor_id,
                          round(list_cosine_similarity(q.qe, c.e), 4) AS sim_r
                   FROM q JOIN based c ON q.bucket = c.bucket),
+            r AS (SELECT query_id, neighbor_id, sim_r,
+                         CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim_r DESC, neighbor_id ASC) AS BIGINT) AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, sim_r, rank FROM r WHERE rank <= 10
+        """,
+        "ann_topk_ivf": """
+            WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            cents AS (SELECT id AS cid, e AS centroid FROM emb ORDER BY id LIMIT 16),
+            ascore AS (SELECT emb.id, c.cid,
+                              round(list_cosine_similarity(emb.e, c.centroid), 6) AS sim
+                       FROM emb CROSS JOIN cents c),
+            assign AS (SELECT id, cid FROM (
+                           SELECT id, cid,
+                                  row_number() OVER (PARTITION BY id
+                                       ORDER BY sim DESC, cid ASC) AS rn
+                           FROM ascore) z WHERE rn = 1),
+            probes AS (SELECT id AS qid, cid FROM (
+                           SELECT id, cid,
+                                  row_number() OVER (PARTITION BY id
+                                       ORDER BY sim DESC, cid ASC) AS rn
+                           FROM ascore WHERE id < 5) z WHERE rn <= 2),
+            s AS (SELECT p.qid AS query_id, b.id AS neighbor_id,
+                         round(list_cosine_similarity(q.e, b.e), 4) AS sim_r
+                  FROM probes p
+                  JOIN emb q ON q.id = p.qid
+                  JOIN assign a ON a.cid = p.cid
+                  JOIN emb b ON b.id = a.id),
             r AS (SELECT query_id, neighbor_id, sim_r,
                          CAST(row_number() OVER (PARTITION BY query_id
                               ORDER BY sim_r DESC, neighbor_id ASC) AS BIGINT) AS rank

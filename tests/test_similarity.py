@@ -104,3 +104,20 @@ def test_embedding_near_dups_vs_bruteforce(emb, spark):
     assert got <= truth  # exact precision: every reported pair is real
     recall = len(got) / len(truth)
     assert recall >= 0.5, f"near-dup recall = {recall} over {len(truth)} true pairs"
+
+
+def test_ann_topk_ivf_recall_vs_exact(emb, spark):
+    """IVF with nprobe=2 over 8 clustered centroids: queries' own clusters
+    are almost always probed, so recall@10 is high; values are exact
+    re-scores (checked against the full exact ranking)."""
+    from pds_hw2_mpi_connected_components_spark.operators.similarity import ann_topk_ivf
+
+    k, n_q = 10, 10
+    queries = emb.where(F.col("vec_id") < n_q).select("vec_id")
+    approx = ann_topk_ivf(emb, queries, k=k, n_centroids=8, nprobe=2).collect()
+    exact = _exact_topk_numpy(k=k, n_q=n_q)
+    got: dict[int, set] = {q: set() for q in range(n_q)}
+    for r in approx:
+        got[r["query_id"]].add(r["neighbor_id"])
+    recall = sum(len(got[q] & exact[q]) for q in range(n_q)) / (k * n_q)
+    assert recall >= 0.7, f"IVF recall@{k} = {recall}"
