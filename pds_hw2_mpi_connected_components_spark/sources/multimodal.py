@@ -29,20 +29,28 @@ MEDIA_SCHEMA = (
     "n_bytes long, payload binary"
 )
 
-FAKE_FORMATS = {"fake-rgb8"}  # deterministic stub codec
+# deterministic stub codecs: fake-rgb8 = one raw RGB frame (w*h*3 bytes);
+# fake-vid-rgb8 = n_frames consecutive raw RGB frames (frame count is
+# len(payload) // (w*h*3), like a raw .yuv stream)
+FAKE_FORMATS = {"fake-rgb8", "fake-vid-rgb8"}
 
 
 def synth_media(spark, n: int, kind: str = "image") -> DataFrame:
-    """Deterministic synthetic media table (fake-rgb8: payload = raw
-    little-endian RGB bytes, width*height*3)."""
+    """Deterministic synthetic media table. kind='image': fake-rgb8 single
+    frame; kind='video': fake-vid-rgb8 with 2 + i%4 frames, same byte
+    pattern per payload."""
+    video = kind == "video"
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 w, h = 8 + int(i) % 8, 8 + (int(i) * 3) % 8
-                rng = np.arange(w * h * 3, dtype=np.uint64) * (int(i) + 1) % 251
+                frames = (2 + int(i) % 4) if video else 1
+                rng = np.arange(w * h * 3 * frames, dtype=np.uint64) * (int(i) + 1) % 251
                 payload = rng.astype(np.uint8).tobytes()
-                rows.append((int(i), kind, "fake-rgb8", w, h, len(payload), payload))
+                fmt = "fake-vid-rgb8" if video else "fake-rgb8"
+                rows.append((int(i), kind, fmt, w, h, len(payload), payload))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "kind", "fmt", "width", "height", "n_bytes", "payload"])
 
@@ -66,11 +74,14 @@ def _decode_fake_rgb8(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes, fmt: str, width: int, height: int) -> np.ndarray:
-    """STUB: only the deterministic 'fake-rgb8' codec is implemented in this
-    container (no Pillow/libjpeg). Real formats raise until the codec lib is
-    installed — the surrounding Spark plumbing is format-agnostic."""
-    if fmt in FAKE_FORMATS:
+    """STUB: only the deterministic fake codecs are implemented in this
+    container (no Pillow/libjpeg/ffmpeg). Real formats raise until the codec
+    lib is installed — the surrounding Spark plumbing is format-agnostic.
+    fake-rgb8 -> (h, w, 3); fake-vid-rgb8 -> (n_frames, h, w, 3)."""
+    if fmt == "fake-rgb8":
         return _decode_fake_rgb8(payload, width, height)
+    if fmt == "fake-vid-rgb8":
+        return np.frombuffer(payload, dtype=np.uint8).reshape(-1, height, width, 3)
     raise NotImplementedError(
         f"codec {fmt!r} requires an image library not present in this sandbox"
     )
@@ -135,7 +146,9 @@ RESIZE_SCHEMA = MEDIA_SCHEMA
 
 def resize_image(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     """Nearest-neighbor resize (pure numpy — deterministic, no codec needed
-    beyond decode). Emits the same media schema with fmt preserved."""
+    beyond decode). Emits the same media schema with fmt preserved.
+    Expects SINGLE-FRAME rows (images, or frame_sample output) — run
+    frame_sample first for video media."""
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
@@ -168,16 +181,36 @@ def resize_image(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     return media.mapInPandas(resize, schema=RESIZE_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling STUB: for 'fake-rgb8' a "video" is its single
-    frame; the operator shape (1 row in -> k rows out via mapInPandas) is the
-    real thing. Real containers (mp4 etc.) raise NotImplementedError inside
-    decode_image."""
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame sampling: emit every ``every_n``-th frame of each media
+    row as its own single-frame image row (1 row in -> k rows out). Frame
+    count = len(payload) // (w*h*3) — raw-stream framing, so fake-rgb8
+    images are 1-frame videos and pass through as frame 0. Real containers
+    (mp4 etc.) raise NotImplementedError like decode_image."""
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pdf.copy()
-            out["frame_idx"] = 0
-            yield out[["media_id", "frame_idx", "fmt", "width", "height", "payload"]]
+            if not len(pdf):
+                continue
+            buf, starts, lengths = _batch_buffer(pdf)
+            w = pdf["width"].to_numpy().astype(np.int64)
+            h = pdf["height"].to_numpy().astype(np.int64)
+            fsize = w * h * 3
+            n_frames = lengths // fsize
+            keep = (np.ceil(n_frames / every_n)).astype(np.int64)  # frames 0, every_n, ...
+            row_of = np.repeat(np.arange(len(pdf), dtype=np.int64), keep)
+            # per emitted frame: its index within the row
+            local = np.concatenate([np.arange(k, dtype=np.int64) for k in keep]) if len(keep) else np.array([], np.int64)
+            fidx = local * every_n
+            off = starts[row_of] + fidx * fsize[row_of]
+            sz = fsize[row_of]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy()[row_of],
+                "frame_idx": fidx.astype(np.int32),
+                "fmt": np.full(len(row_of), "fake-rgb8", dtype=object),
+                "width": pdf["width"].to_numpy()[row_of],
+                "height": pdf["height"].to_numpy()[row_of],
+                "payload": [buf[o:o + s].tobytes() for o, s in zip(off, sz)],
+            })
 
     return media.mapInPandas(
         sample,

@@ -93,10 +93,32 @@ def test_decode_stub_raises_on_real_codec(spark):
         decode_image(b"\xff\xd8\xff", "jpeg", 1, 1)
 
 
-def test_frame_sample_shape(spark):
-    frames = frame_sample(synth_media(spark, 5, kind="video"))
-    assert frames.count() == 5
+def test_frame_sample_video(spark):
+    """Videos i have 2+i%4 frames; every_n=2 keeps frames 0,2,4,... and the
+    emitted payload must equal the exact frame slice."""
+    import numpy as np
+
+    from pds_hw2_mpi_connected_components_spark.sources.multimodal import decode_image
+
+    media = synth_media(spark, 5, kind="video")
+    frames = frame_sample(media, every_n=2)
     assert frames.columns == ["media_id", "frame_idx", "fmt", "width", "height", "payload"]
+    got = [(r["media_id"], r["frame_idx"], bytes(r["payload"])) for r in frames.collect()]
+    n_frames = {i: 2 + i % 4 for i in range(5)}
+    want_count = sum(-(-f // 2) for f in n_frames.values())  # ceil(f/2)
+    assert len(got) == want_count
+    rows = {r["media_id"]: r for r in media.collect()}
+    for mid, fidx, payload in got:
+        r = rows[mid]
+        vid = decode_image(r["payload"], r["fmt"], r["width"], r["height"])
+        assert fidx % 2 == 0 and fidx < n_frames[mid] * 2
+        assert payload == vid[fidx].tobytes()
+
+
+def test_frame_sample_image_passthrough(spark):
+    frames = frame_sample(synth_media(spark, 4, kind="image"), every_n=3)
+    rows = frames.collect()
+    assert len(rows) == 4 and all(r["frame_idx"] == 0 for r in rows)
 
 
 def test_features_match_per_row_histogram_reference(spark):
