@@ -139,3 +139,35 @@ def test_local_checkpoint_preserves_partitioning(no_aqe):
     assert shuffle_exchanges(a.groupBy("vid").agg(F.sum("x"))) == 0
     # and the elision: re-repartitioning by the same key/count adds nothing
     assert shuffle_exchanges(a.repartition(8, "vid")) == 0
+
+
+def test_bucketed_edges_no_exchange(no_aqe, tmp_path):
+    """A bucketBy(src) table read back must feed src-keyed aggregation and
+    the PageRank-style src join with NO shuffle — write-time co-location
+    replaces the per-run static-state shuffle (DESIGN_100TB.md §9)."""
+    from pyspark.sql import functions as F
+
+    from pds_hw2_mpi_connected_components_spark.plans.bucketed import (
+        read_bucketed_edges,
+        write_bucketed_edges,
+    )
+
+    spark = no_aqe
+    edges = spark.range(5000).select(
+        (F.col("id") % 97).alias("src"), ((F.col("id") * 13 + 1) % 97).alias("dst")
+    )
+    write_bucketed_edges(edges, "bucketed_edges_test", buckets=8)
+    try:
+        back = read_bucketed_edges(spark, "bucketed_edges_test")
+        assert shuffle_exchanges(back.groupBy("src").agg(F.count("*"))) == 0
+        ranks = (
+            spark.range(97).select(F.col("id").alias("vid"), F.lit(0.1).alias("rank"))
+            .repartition(8, "vid").localCheckpoint(eager=True)
+        )
+        j = back.join(ranks.hint("shuffle_hash"), back.src == ranks.vid)
+        assert shuffle_exchanges(j) == 0
+        got = {(r["src"], r["dst"]) for r in back.collect()}
+        want = {(i % 97, (i * 13 + 1) % 97) for i in range(5000)}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_edges_test")
