@@ -46,6 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.checkpoint import CheckpointStore
 from .csr import pack_by_dst
 
 MAX_ROUNDS = 512  # reference MAX_ITER (connected_components.c:103)
@@ -56,13 +57,16 @@ def connected_components_frontier(
     vertices: Optional[DataFrame] = None,
     max_rounds: int = MAX_ROUNDS,
     broadcast_threshold: int = 2_000_000,
+    checkpoint: Optional[CheckpointStore] = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Returns ((vid, label), metrics). Labels are min-vid-per-component,
     identical to operators/cc.connected_components (tested).
 
     ``broadcast_threshold``: max frontier rows to broadcast; larger
     frontiers run the round as a distributed join instead. 2M rows ~= 32 MB
-    broadcast — tune to executor memory."""
+    broadcast — tune to executor memory. ``checkpoint``: persists
+    (labels, frontier) per round so a killed run resumes mid-iteration,
+    same contract as the other two CC modes."""
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sym = (
@@ -88,9 +92,25 @@ def connected_components_frontier(
     # round 0 frontier = every vertex (conceptually); executed distributed.
     frontier_df: Optional[DataFrame] = None  # None => "all of labels"
     frontier_rows = labels.count()
+    start_round = 0
+    if checkpoint is not None:
+        resumed = checkpoint.latest("frontier_labels")
+        if resumed is not None:
+            start_round, labels = resumed
+            labels = labels.repartition(n_part, "vid").localCheckpoint(eager=True)
+            # the frontier of the SAME round (labels are written after the
+            # frontier, so a committed labels round implies a committed
+            # frontier round)
+            frontier_df = checkpoint.read("frontier_changed", start_round)
+            frontier_df = frontier_df.repartition(n_part, "vid").localCheckpoint(eager=True)
+            frontier_rows = frontier_df.count()
+            start_round += 1
+            if frontier_rows == 0:  # crashed after converging round
+                packed.unpersist()
+                return labels, []
 
     metrics: list[dict] = []
-    for rnd in range(max_rounds):
+    for rnd in range(start_round, max_rounds):
         t0 = time.monotonic()
         broadcast_mode = frontier_rows <= broadcast_threshold and frontier_df is not None
         if broadcast_mode:
@@ -131,6 +151,11 @@ def connected_components_frontier(
             "mode": "broadcast" if broadcast_mode else "join",
             "sec": time.monotonic() - t0,
         })
+        if checkpoint is not None:
+            checkpoint.write("frontier_changed", rnd, frontier_df, rows=frontier_rows)
+            checkpoint.write("frontier_labels", rnd, labels,
+                             meta={"changed": frontier_rows})
+            checkpoint.log_metrics("frontier_cc", metrics[-1])
         if frontier_rows == 0:
             break
     else:

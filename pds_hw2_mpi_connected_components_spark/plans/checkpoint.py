@@ -136,6 +136,11 @@ class CheckpointStore:
     def manifest_meta(self, name: str, it: int) -> dict:
         return self._read_manifest(name, it).get("meta", {})
 
+    def read(self, name: str, it: int) -> DataFrame:
+        """State of a specific committed iteration (manifest must exist)."""
+        self._read_manifest(name, it)  # raises if not committed
+        return self.spark.read.parquet(self._dir(name, it))
+
     def latest(self, name: str) -> Optional[tuple[int, DataFrame]]:
         """(iteration, state) of the newest *committed* checkpoint, or None.
         Only manifests count — a parquet dir without its manifest is a torn

@@ -78,3 +78,22 @@ def test_frontier_path_graph_high_diameter(spark):
     assert set(_labels(labels).values()) == {0}
     assert metrics[-1]["changed"] == 0
     assert len(metrics) <= n
+
+
+def test_frontier_resume_mid_iteration(spark, tmp_path):
+    from pds_hw2_mpi_connected_components_spark.plans.checkpoint import CheckpointStore
+
+    pairs = [(i, (i + 1) % 48) for i in range(48)]  # ring: many rounds
+    edges = make_edges(spark, pairs)
+    full, _ = connected_components_frontier(edges)
+    want = _labels(full)
+
+    store = CheckpointStore(spark, str(tmp_path / "fk"))
+    with pytest.raises(RuntimeError):
+        connected_components_frontier(edges, max_rounds=3, checkpoint=store)
+    assert store.latest("frontier_labels") is not None
+
+    labels, metrics = connected_components_frontier(edges, checkpoint=store)
+    assert _labels(labels) == want
+    assert metrics[0]["round"] >= 3  # resumed, not restarted
+    assert store.metrics("frontier_cc")
