@@ -9,3 +9,4 @@ from .graph_io import (  # noqa: F401
     read_bin_header,
     GraphFormatError,
 )
+from .pages_io import read_pages, validate_pages_schema, PagesSchemaError  # noqa: F401

@@ -67,3 +67,32 @@ def test_end_to_end_component_count(spark):
     g = build_graph(pages)
     labels, _ = connected_components(g.edges, vertices=g.vertices.select("vid"))
     assert cc_count(labels) == C
+
+
+def test_pages_schema_validation(spark, tmp_path):
+    from pds_hw2_mpi_connected_components_spark.sources.datagen import generate_pages
+    from pds_hw2_mpi_connected_components_spark.sources.pages_io import (
+        PagesSchemaError,
+        read_pages,
+        validate_pages_schema,
+    )
+    import pytest as _pytest
+
+    pages = generate_pages(spark, 50, n_components=2)
+    p = str(tmp_path / "pages.parquet")
+    pages.write.mode("overwrite").parquet(p)
+    ok = read_pages(spark, p)  # round-trips through validation
+    assert ok.count() == 50
+
+    # missing column
+    pages.drop("lang").write.mode("overwrite").parquet(str(tmp_path / "bad1"))
+    with _pytest.raises(PagesSchemaError, match="missing column 'lang'"):
+        read_pages(spark, str(tmp_path / "bad1"))
+
+    # wrong type
+    bad = pages.withColumn("warc_ts", pages.url)
+    with _pytest.raises(PagesSchemaError, match="warc_ts"):
+        validate_pages_schema(bad)
+
+    # extra columns are fine
+    validate_pages_schema(pages.withColumn("extra", pages.url))
