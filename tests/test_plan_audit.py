@@ -45,14 +45,18 @@ def any_exchanges(df) -> int:
 @pytest.fixture()
 def no_aqe(spark):
     prev = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    # hermetic planning: cached relations left by earlier tests make
-    # CacheManager substitute InMemoryTableScans into OUR plans (observed as
-    # a flaky extra/missing exchange when the whole suite runs in one
-    # session)
+    # hermetic planning, in-suite: (a) cached relations left by earlier
+    # tests make CacheManager substitute InMemoryTableScans into OUR plans;
+    # (b) test_cli's get_spark(getOrCreate) resets shuffle.partitions to 32
+    # on the SHARED session, so the ==1-exchange assertions (built around
+    # n_part=8) see a phantom co-partitioning mismatch. Pin both.
     spark.catalog.clearCache()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     yield spark
     spark.conf.set("spark.sql.adaptive.enabled", prev)
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _pagerank_statics(spark, n_part=8):
