@@ -299,6 +299,13 @@ scaling efficiency 0.893 (2x) / 0.774 (4x); mawi collapses to 0.069
 (Allgatherv full-snapshot replication — the wall our DataFrame mode removes;
 our CSR mode intentionally reproduces that design for per-node speed and is
 benchmarked side by side).
+
+Reading the two PageRank rows together is the whole design argument in one
+table: the CSR mode (replicated vector + per-superstep driver collect — the
+reference's own shape) is the per-node speed winner at N but its scaling
+efficiency collapses as parallelism grows, exactly like the reference on
+mawi; the DataFrame mode pays more per edge but scales at the hardware
+ceiling. At 1000 executors only the second curve matters.
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
