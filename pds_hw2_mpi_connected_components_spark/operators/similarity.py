@@ -2,14 +2,19 @@
 
 - brute-force cosine top-k: the exact baseline. All scoring happens in
   JVM-side higher-order functions (zip_with/aggregate) — no Python.
-- LSH-bucketed ANN (random-hyperplane signs): the scale path. Hyperplanes
+- LSH-bucketed ANN (random-hyperplane signs): scale path #1. Hyperplanes
   are derived deterministically from (dim, plane) via an integer hash, so
   signatures are reproducible with no stored model. Candidates = bucket
   collisions; exact re-scoring only within buckets.
+- IVF ANN (inverted file over a deterministic coarse quantizer): scale
+  path #2 — queries probe their nprobe nearest centroid buckets and
+  re-score exactly within them.
 - embedding near-duplicate pairs: cosine >= threshold within LSH buckets.
 
 At 10^12 rows the brute-force path is a cross join — only for small query
-sets; the LSH path shuffles O(n * tables) rows instead.
+sets; LSH shuffles O(n * tables) rows and IVF scores ~nprobe/n_centroids of
+the corpus per query instead. All paths are DuckDB-oracle-verified and
+recall-tested against the exact baseline (tests/test_similarity.py).
 """
 
 from __future__ import annotations
