@@ -149,13 +149,21 @@ def _q_mtx_cc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_mtx,
     )
 
+    import os
+
     docs_n = _docs(spark, sf_dir).count()
-    path = tempfile.mktemp(suffix=".mtx", prefix="mtx_cc_")
-    write_mtx(doc_edges_blocked(spark, sf_dir), docs_n, path)
-    edges, _header = read_mtx(spark, path)
-    labels, _ = connected_components(
-        edges.localCheckpoint(eager=True), vertices=doc_vertices(spark, sf_dir)
-    )
+    fd, path = tempfile.mkstemp(suffix=".mtx", prefix="mtx_cc_")
+    os.close(fd)
+    try:
+        write_mtx(doc_edges_blocked(spark, sf_dir), docs_n, path)
+        # read_mtx materializes eagerly and connected_components checkpoints,
+        # so the file is fully consumed before the finally-unlink runs.
+        edges, _header = read_mtx(spark, path)
+        labels, _ = connected_components(
+            edges.localCheckpoint(eager=True), vertices=doc_vertices(spark, sf_dir)
+        )
+    finally:
+        os.unlink(path)
     return labels.agg(F.countDistinct("label").alias("n_components"))
 
 

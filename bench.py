@@ -125,7 +125,8 @@ def main() -> None:
     # -- skew guard: exact Jaccard on a corpus with a universal hot token --
     # Every doc shares token "the"; without the max_df cutoff the pair join
     # on that key alone is n^2/2 rows (~2e8 at n=20k: effectively a hang).
-    # With the cutoff the per-token fan-out is bounded by max_df^2.
+    # Runs with DEFAULT args since round 3: max_df is bounded by default, so
+    # this leg proves the guard protects a naive caller, not just an expert.
     n_hot = 20_000
     hot = spark.range(n_hot).select(
         F.col("id").alias("doc_id"),
@@ -133,7 +134,7 @@ def main() -> None:
                  F.lit(" v"), (F.col("id") * 7 % 997).cast("string")).alias("text"),
         (F.col("id") % 8).cast("string").alias("source"),
     ).localCheckpoint(eager=True)
-    timed("jaccard_hot20k", lambda: jaccard_pairs(hot, threshold=0.3, max_df=100).count())
+    timed("jaccard_hot20k", lambda: jaccard_pairs(hot, threshold=0.3).count())
 
     # -- relational legs ---------------------------------------------------
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

@@ -80,7 +80,7 @@ def jaccard_pairs(
     block_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df: int | None = None,
+    max_df: int | None = 10_000,
     ngram: int = 1,
 ) -> DataFrame:
     """Exact token-set Jaccard over pairs sharing a blocking key.
@@ -97,7 +97,9 @@ def jaccard_pairs(
     the raw token, and without a cutoff a stopword like "the" carries ~n
     rows, making one reducer's output ~n^2/blocks at web scale. With the
     cutoff, any token's join fan-out is bounded by max_df^2. Costs one extra
-    cheap aggregation (the document-frequency count)."""
+    cheap aggregation (the document-frequency count). Bounded BY DEFAULT
+    (10k docs per token); pass ``max_df=None`` to opt out explicitly — the
+    unbounded join is only safe on corpora known to have no hot tokens."""
     toks = tokens(df, id_col, text_col) if ngram <= 1 else shingles(df, ngram, id_col, text_col)
     if max_df is not None:
         dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))

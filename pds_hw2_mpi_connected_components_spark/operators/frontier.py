@@ -124,24 +124,26 @@ def connected_components_frontier(
                 .groupBy("dst")
                 .agg(F.min("label").alias("cand"))
             )
-        # co-partitioned: labels hash(vid), cand hash(dst) — both by join key
-        joined = labels.join(cand, labels.vid == cand.dst, "left").select(
-            "vid",
-            "label",
-            F.when(F.col("cand") < F.col("label"), F.col("cand"))
-            .otherwise(F.col("label"))
-            .alias("new_label"),
-        )
-        new_labels = (
-            joined.select("vid", F.col("new_label").alias("label"))
+        # co-partitioned: labels hash(vid), cand hash(dst) — both by join key.
+        # Materialized ONCE per round: new_labels and the frontier are both
+        # cheap projections/filters over this flat LogicalRDD, so the
+        # edge-scale candidate computation runs exactly once per round (it
+        # used to run twice — one localCheckpoint each).
+        joined = (
+            labels.join(cand, labels.vid == cand.dst, "left")
+            .select(
+                "vid",
+                "label",
+                F.when(F.col("cand") < F.col("label"), F.col("cand"))
+                .otherwise(F.col("label"))
+                .alias("new_label"),
+            )
             .repartition(n_part, "vid")
             .localCheckpoint(eager=True)
         )
-        frontier_df = (
-            joined.where(F.col("new_label") < F.col("label"))
-            .select("vid", F.col("new_label").alias("label"))
-            .repartition(n_part, "vid")
-            .localCheckpoint(eager=True)
+        new_labels = joined.select("vid", F.col("new_label").alias("label"))
+        frontier_df = joined.where(F.col("new_label") < F.col("label")).select(
+            "vid", F.col("new_label").alias("label")
         )
         frontier_rows = frontier_df.count()
         labels = new_labels

@@ -124,7 +124,12 @@ def ivf_assign(
     same way downstream; seeds keep the assignment reproducible and
     SQL-checkable). Assignment = argmax cosine, computed per (vector,
     centroid) with the similarity rounded to ``round_digits`` and ties
-    broken by smaller cid — fully deterministic."""
+    broken by smaller cid — fully deterministic.
+
+    Assignment is the textbook O(n * n_centroids) broadcast crossJoin, so
+    ``n_centroids`` MUST stay broadcast-sized (thousands, not millions —
+    each executor holds all centroid vectors); the corpus side streams and
+    never shuffles."""
     cents = (
         emb.orderBy(id_col).limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col("embedding").alias("centroid"))

@@ -11,6 +11,8 @@ table.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -51,8 +53,10 @@ def validate_pages_schema(df: DataFrame) -> DataFrame:
 def read_pages(spark: SparkSession, source: str) -> DataFrame:
     """Load the pages table. ``source`` is an Iceberg table name (used when
     the Iceberg runtime is on the classpath) or a parquet path. Schema is
-    validated either way."""
-    if "/" not in source and _iceberg_available(spark):
+    validated either way. A path that exists on the local filesystem is
+    always read as parquet — a bare relative directory name like "pages"
+    must not be misrouted to an Iceberg table lookup."""
+    if "/" not in source and not os.path.exists(source) and _iceberg_available(spark):
         df = spark.read.format("iceberg").load(source)
     else:
         df = spark.read.parquet(source)
