@@ -1,4 +1,5 @@
-"""Graph-file ingestion: MatrixMarket text and the reference's binary CSC.
+"""Graph-file ingestion and export: MatrixMarket text and the reference's
+binary CSC.
 
 These are the reference's only two input formats — closing them means a user
 with an existing graph file (com-Friendster/mawi-style .mtx, or a .bin
@@ -16,16 +17,30 @@ produced by the reference's converter) can run this engine directly:
   preads ONLY its column range's col_ptr window and row_idx slice — the
   driver reads just the 16-byte header.
 
-Scale notes: .mtx parsing is a distributed text scan (one zipWithIndex pass
-to skip the header prefix stably, then a codegen'd split/filter). The .bin
-WRITER is driver-side by design — the format itself is a single sequential
-binary stream (an interchange format for the reference tooling, not the
-engine's scale sink, which is partitioned parquet — plans/checkpoint.py).
+Scale design (round 3):
+
+- READ .mtx: the body is split driver-side into newline-aligned byte
+  windows; each task parses its window in one vectorized pandas C-parser
+  call inside ``mapInPandas`` (same pattern as ``read_bin_csc``) and
+  validates bounds in the same pass — a single distributed scan, zero
+  per-row Python, zero extra bad-count pass. Symmetric expansion happens
+  in-task so the text is parsed exactly once.
+- WRITE .mtx / .bin: distributed chunked export, mirroring the reference
+  converter's 100M-element chunked writes (mtx_to_bin.c:333-373). Entries
+  are bucketed into contiguous key ranges; each bucket task sorts and
+  writes its own part file (text rows, or raw uint32 col-count/row-index
+  arrays); the driver then streams header + parts into the final file with
+  O(one bucket) memory — never a full ``toPandas``. Part files live next to
+  the output path, so driver and executors must share that filesystem
+  (true in local mode and on any DFS mount — the same single-shared-file
+  contract the MPI reference has for its input).
 """
 
 from __future__ import annotations
 
+import io
 import os
+import shutil
 import struct
 from typing import Iterator, Optional
 
@@ -36,6 +51,7 @@ from pyspark.sql import functions as F
 
 _BANNER = "%%MatrixMarket"
 _HEADER_STRUCT = struct.Struct("<IIQ")  # nrows u32, ncols u32, nnz u64
+_WINDOW_BYTES = 32 << 20  # max bytes parsed per task in one pandas call
 
 
 class GraphFormatError(ValueError):
@@ -44,9 +60,9 @@ class GraphFormatError(ValueError):
 
 def _read_mtx_header(path: str) -> tuple[dict, int]:
     """Parse banner + size line driver-side, reading only the file prefix.
-    Returns (header dict, number of prefix lines to skip distributedly)."""
-    with open(path, "r") as f:
-        banner = f.readline()
+    Returns (header dict, byte offset of the first body line)."""
+    with open(path, "rb") as f:
+        banner = f.readline().decode("ascii", errors="replace")
         parts = banner.split()
         if len(parts) != 5 or parts[0] != _BANNER or parts[1] != "matrix":
             raise GraphFormatError(f"invalid MatrixMarket banner: {banner!r}")
@@ -60,16 +76,16 @@ def _read_mtx_header(path: str) -> tuple[dict, int]:
                 "reference converter) expects an undirected graph — provide a "
                 "symmetric .mtx or symmetrize explicitly"
             )
-        lines = 1
         while True:
-            line = f.readline()
-            if not line:
+            raw = f.readline()
+            if not raw:
                 raise GraphFormatError("missing size line")
-            lines += 1
+            line = raw.decode("ascii", errors="replace")
             if line.lstrip().startswith("%") or not line.strip():
                 continue
             size = line.split()
             break
+        body_off = f.tell()
         if fmt == "coordinate":
             if len(size) != 3:
                 raise GraphFormatError(f"invalid coordinate size line: {line!r}")
@@ -81,8 +97,113 @@ def _read_mtx_header(path: str) -> tuple[dict, int]:
             nnz = nrows * ncols
         return (
             {"format": fmt, "field": field, "nrows": nrows, "ncols": ncols, "nnz": nnz},
-            lines,
+            body_off,
         )
+
+
+def _scan_newline(f, pos: int) -> Optional[int]:
+    """Byte offset of the first b'\\n' at position >= pos, or None at EOF."""
+    f.seek(pos)
+    while True:
+        chunk = f.read(1 << 16)
+        if not chunk:
+            return None
+        k = chunk.find(b"\n")
+        if k >= 0:
+            return pos + k
+        pos += len(chunk)
+
+
+def _aligned_span(f, start: int, end: int, body_off: int, fsize: int) -> tuple[int, int]:
+    """Whole-line byte span owned by raw window [start, end): a line belongs
+    to the window containing its FIRST byte. Both boundaries use the same
+    rule (first line-start >= boundary), so consecutive windows partition the
+    body exactly — no line is lost or parsed twice, at any parallelism."""
+    def first_line_start(boundary: int) -> int:
+        if boundary <= body_off:
+            return body_off
+        if boundary >= fsize:
+            return fsize
+        p = _scan_newline(f, boundary - 1)
+        return fsize if p is None else p + 1
+
+    return first_line_start(start), first_line_start(end)
+
+
+def _window_spec(spark: SparkSession, body_off: int, fsize: int) -> tuple[DataFrame, int]:
+    """Plan the body's byte windows driver-side: bounded per-task parse size
+    (_WINDOW_BYTES) with enough windows to feed the cluster on mid-size
+    files."""
+    body = max(0, fsize - body_off)
+    par = spark.sparkContext.defaultParallelism
+    n_win = max(1, -(-body // _WINDOW_BYTES))  # ceil, size-bounded
+    if n_win < par and body > (1 << 20):
+        n_win = min(par, -(-body // (1 << 20)))
+    step = -(-max(1, body) // n_win)
+    rows = [
+        (w, body_off + w * step, min(body_off + (w + 1) * step, fsize))
+        for w in range(n_win)
+    ]
+    spec = spark.createDataFrame(rows, "wid long, start long, end long").repartition(
+        n_win, "wid"
+    )
+    return spec, n_win
+
+
+def _parse_window(data: bytes, names: list[str], path: str) -> Optional[pd.DataFrame]:
+    """One vectorized C-parser call over a window's whole lines. Comments and
+    blank lines inside the body are tolerated (the reference's fscanf skips
+    whitespace the same way); tokens come back as strings and are validated
+    numerically by the caller, so malformed entries become a clean
+    GraphFormatError instead of a parser crash."""
+    if not data.strip():
+        return None
+    try:
+        pdf = pd.read_csv(
+            io.BytesIO(data),
+            sep=r"\s+",
+            header=None,
+            names=names,
+            comment="%",
+            skip_blank_lines=True,
+            dtype=str,
+        )
+    except pd.errors.EmptyDataError:
+        return None
+    except Exception as exc:
+        raise GraphFormatError(f"unparseable entries in {path}: {exc}") from None
+    return pdf
+
+
+def _expand_pairs(i: np.ndarray, j: np.ndarray) -> pd.DataFrame:
+    """0-based (src, dst) with symmetric expansion of off-diagonal entries —
+    mtx_to_bin.c:144-151 — done in-task so the text is parsed only once."""
+    off = i != j
+    return pd.DataFrame(
+        {
+            "src": np.concatenate([i, j[off]]),
+            "dst": np.concatenate([j, i[off]]),
+        }
+    )
+
+
+def _materialize_or_raise(df: DataFrame) -> DataFrame:
+    """Eagerly materialize the parse; task-side GraphFormatError (bounds /
+    malformed entries) is re-raised as a clean driver-side GraphFormatError."""
+    try:
+        return df.localCheckpoint(eager=True)
+    except Exception as exc:  # noqa: BLE001 — Py4J wraps the task error
+        _reraise_graph_format(exc)
+        raise
+
+
+def _reraise_graph_format(exc: BaseException) -> None:
+    s = str(exc)
+    marker = "GraphFormatError: "
+    k = s.find(marker)
+    if k >= 0:
+        raise GraphFormatError(s[k + len(marker):].splitlines()[0]) from None
+    raise exc
 
 
 def read_mtx(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
@@ -90,117 +211,286 @@ def read_mtx(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
 
     Symmetric expansion matches the reference converter exactly: every
     off-diagonal entry (a,b) also emits (b,a); zero-valued entries are
-    dropped; out-of-bounds indices raise (mtx_to_bin.c:133-151). Output is
-    deduplicated (the engine's edge contract; CC/PageRank semantics are
-    unchanged by duplicate edges in the reference's CSC too)."""
-    header, skip = _read_mtx_header(path)
-    sc = spark.sparkContext
-    # zipWithIndex gives stable global line numbers (one lightweight extra
-    # pass) — the only order-reliable way to skip the header prefix when the
-    # text scan is split across tasks.
-    lines = (
-        sc.textFile(path)
-        .zipWithIndex()
-        .filter(lambda t: t[1] >= skip)
-        .map(lambda t: (t[0],))
-        .toDF(["line"])
-    )
-    body = lines.select(F.trim("line").alias("line")).where(
-        (F.length("line") > 0) & ~F.col("line").startswith("%")
-    )
-    toks = body.select(F.split("line", r"\s+").alias("t"))
+    dropped; out-of-bounds or malformed entries raise GraphFormatError
+    (mtx_to_bin.c:133-151). Output is deduplicated and EAGERLY materialized
+    (the single distributed parse also validates — one scan total), so the
+    returned DataFrame is a flat LogicalRDD ready for iteration."""
+    path = os.path.abspath(path)
+    header, body_off = _read_mtx_header(path)
+    fsize = os.path.getsize(path)
+    spec, _ = _window_spec(spark, body_off, fsize)
+    nrows, ncols = header["nrows"], header["ncols"]
+
     if header["format"] == "coordinate":
         pattern = header["field"] == "pattern"
-        ent = toks.select(
-            F.element_at("t", 1).cast("long").alias("i"),
-            F.element_at("t", 2).cast("long").alias("j"),
-            (F.lit(1.0) if pattern else F.element_at("t", 3).cast("double")).alias("val"),
+        names = ["i", "j"] if pattern else ["i", "j", "v"]
+
+        def load(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                for start, end in zip(b["start"], b["end"]):
+                    with open(path, "rb") as f:
+                        a0, b0 = _aligned_span(f, int(start), int(end), body_off, fsize)
+                        if b0 <= a0:
+                            continue
+                        f.seek(a0)
+                        data = f.read(b0 - a0)
+                    pdf = _parse_window(data, names, path)
+                    if pdf is None:
+                        continue
+                    i = pd.to_numeric(pdf["i"], errors="coerce")
+                    j = pd.to_numeric(pdf["j"], errors="coerce")
+                    bad = (
+                        i.isna() | j.isna()
+                        | (i < 1) | (j < 1) | (i > nrows) | (j > ncols)
+                        | (i % 1 != 0) | (j % 1 != 0)
+                    )
+                    if pattern:
+                        keep = np.ones(len(pdf), dtype=bool)
+                    else:
+                        v = pd.to_numeric(pdf["v"], errors="coerce")
+                        bad |= v.isna()
+                        keep = v.to_numpy(dtype=np.float64) != 0.0
+                    nbad = int(bad.sum())
+                    if nbad:
+                        raise GraphFormatError(
+                            f"{nbad} entries out of bounds or unparseable in {path}"
+                        )
+                    ii = i.to_numpy(dtype=np.int64)[keep] - 1
+                    jj = j.to_numpy(dtype=np.int64)[keep] - 1
+                    yield _expand_pairs(ii, jj)
+
+        edges = spec.mapInPandas(load, schema="src long, dst long").distinct()
+        return _materialize_or_raise(edges), header
+
+    # array format: column-major dense values (mtx_to_bin.c:219-244), one
+    # value per line. Matrix position = rank among VALID data lines (blank /
+    # comment lines inside the body shift nothing): a cheap counting pass
+    # over the same windows assigns each window its global base position,
+    # then the parse pass derives (i, j) with integer arithmetic.
+    def count_valid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for wid, start, end in zip(b["wid"], b["start"], b["end"]):
+                with open(path, "rb") as f:
+                    a0, b0 = _aligned_span(f, int(start), int(end), body_off, fsize)
+                    if b0 <= a0:
+                        yield pd.DataFrame({"wid": [int(wid)], "n": [0]})
+                        continue
+                    f.seek(a0)
+                    data = f.read(b0 - a0)
+                pdf = _parse_window(data, ["v"], path)
+                yield pd.DataFrame({"wid": [int(wid)], "n": [0 if pdf is None else len(pdf)]})
+
+    counts = {
+        r["wid"]: r["n"]
+        for r in spec.mapInPandas(count_valid, schema="wid long, n long").collect()
+    }
+    total = sum(counts.values())
+    if total != nrows * ncols:
+        raise GraphFormatError(
+            f"array body has {total} values, expected nrows*ncols = "
+            f"{nrows * ncols} in {path}"
         )
-    else:
-        # array format: column-major dense values (mtx_to_bin.c:219-244);
-        # one value per line, row index derived from the line position.
-        vals = (
-            sc.textFile(path)
-            .zipWithIndex()
-            .filter(lambda t: t[1] >= skip)
-            .map(lambda t: (t[0].strip(), t[1] - skip))
-            .toDF(["line", "pos"])
-        )
-        nr = header["nrows"]
-        ent = vals.where((F.length("line") > 0) & ~F.col("line").startswith("%")).select(
-            (F.col("pos") % nr + 1).alias("i"),
-            (F.col("pos") / nr + 1).cast("long").alias("j"),
-            F.col("line").cast("double").alias("val"),
-        )
-    bad = ent.where(
-        F.col("i").isNull() | F.col("j").isNull()
-        | (F.col("i") < 1) | (F.col("j") < 1)
-        | (F.col("i") > header["nrows"]) | (F.col("j") > header["ncols"])
-    ).count()
-    if bad:
-        raise GraphFormatError(f"{bad} entries out of bounds or unparseable in {path}")
-    nz = ent.where(F.col("val") != 0.0).select(
-        (F.col("i") - 1).alias("a"), (F.col("j") - 1).alias("b")
-    )
-    edges = (
-        nz.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .union(
-            nz.where(F.col("a") != F.col("b")).select(
-                F.col("b").alias("src"), F.col("a").alias("dst")
-            )
-        )
-        .distinct()
-    )
-    return edges, header
+    base, acc = {}, 0
+    for wid in sorted(counts):
+        base[wid] = acc
+        acc += counts[wid]
+
+    def load_array(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for wid, start, end in zip(b["wid"], b["start"], b["end"]):
+                with open(path, "rb") as f:
+                    a0, b0 = _aligned_span(f, int(start), int(end), body_off, fsize)
+                    if b0 <= a0:
+                        continue
+                    f.seek(a0)
+                    data = f.read(b0 - a0)
+                pdf = _parse_window(data, ["v"], path)
+                if pdf is None:
+                    continue
+                v = pd.to_numeric(pdf["v"], errors="coerce")
+                nbad = int(v.isna().sum())
+                if nbad:
+                    raise GraphFormatError(
+                        f"{nbad} entries out of bounds or unparseable in {path}"
+                    )
+                pos = base[int(wid)] + np.arange(len(v), dtype=np.int64)
+                keep = v.to_numpy(dtype=np.float64) != 0.0
+                ii = (pos % nrows)[keep]
+                jj = (pos // nrows)[keep]
+                yield _expand_pairs(ii, jj)
+
+    edges = spec.mapInPandas(load_array, schema="src long, dst long").distinct()
+    return _materialize_or_raise(edges), header
 
 
-def write_mtx(edges: DataFrame, n: int, path: str) -> int:
+# ---------------------------------------------------------------------------
+# distributed chunked export
+# ---------------------------------------------------------------------------
+
+def _bucket_blocks(total: int, n_buckets: int) -> tuple[int, int, int]:
+    """The reference's contiguous block partition (matrix.c:126-133):
+    (per, rem, threshold) with the first `rem` buckets one wider."""
+    per, rem = divmod(total, n_buckets)
+    return per, rem, rem * (per + 1)
+
+
+def _bucket_bounds(b: int, per: int, rem: int) -> tuple[int, int]:
+    start = b * per + min(b, rem)
+    return start, start + per + (1 if b < rem else 0)
+
+
+def _collect_or_raise(df: DataFrame) -> list:
+    try:
+        return df.collect()
+    except Exception as exc:  # noqa: BLE001
+        _reraise_graph_format(exc)
+        raise
+
+
+def write_mtx(edges: DataFrame, n: int, path: str, num_buckets: Optional[int] = None) -> int:
     """Symmetric coordinate/pattern .mtx from an (src,dst) edge table:
-    stores the lower triangle only (a >= b), 1-based — the storage contract
-    the reference converter expands from. Driver-side sequential write (the
-    format is a single text stream); returns stored entry count."""
-    tri = (
-        edges.select(
-            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
-        )
-        .distinct()
-        .orderBy("a", "b")
-        .toPandas()
+    stores the lower triangle only (a >= b), 1-based, globally sorted —
+    the storage contract the reference converter expands from.
+
+    Distributed chunked write (mtx_to_bin.c:333-373 analog): entries are
+    range-bucketed by `a`, each bucket task sorts and writes one text part
+    file next to ``path``, and the driver streams header + parts into the
+    final file — O(one bucket) memory everywhere, no full collect. Returns
+    the stored entry count."""
+    path = os.path.abspath(path)
+    spark = edges.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    B = max(1, min(num_buckets, max(1, n)))
+    parts_dir = path + ".parts"
+    os.makedirs(parts_dir, exist_ok=True)
+    tri = edges.select(
+        F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+    ).distinct()
+    if n > 0:
+        bucket = F.least(F.expr(f"a * {B} DIV {n}"), F.lit(B - 1))
+    else:
+        bucket = F.lit(0)
+
+    def write_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bk = int(key[0])
+        pdf = pdf.sort_values(["a", "b"])
+        out = pdf[["a", "b"]].astype(np.int64) + 1
+        tmp = os.path.join(parts_dir, f".tmp-{bk:06d}-{os.getpid()}")
+        out.to_csv(tmp, sep=" ", header=False, index=False)
+        os.replace(tmp, os.path.join(parts_dir, f"part-{bk:06d}"))
+        return pd.DataFrame({"bucket": [bk], "n": [len(pdf)]})
+
+    res = _collect_or_raise(
+        tri.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .applyInPandas(write_bucket, "bucket long, n long")
     )
-    with open(path, "w") as f:
-        f.write("%%MatrixMarket matrix coordinate pattern symmetric\n")
-        f.write(f"% written by {__name__}\n")
-        f.write(f"{n} {n} {len(tri)}\n")
-        np.savetxt(f, tri.to_numpy() + 1, fmt="%d")
-    return len(tri)
+    total = sum(r["n"] for r in res)
+    try:
+        with open(path, "wb") as f:
+            f.write(b"%%MatrixMarket matrix coordinate pattern symmetric\n")
+            f.write(f"% written by {__name__}\n".encode("ascii"))
+            f.write(f"{n} {n} {total}\n".encode("ascii"))
+            for bk in sorted(r["bucket"] for r in res):
+                with open(os.path.join(parts_dir, f"part-{bk:06d}"), "rb") as part:
+                    shutil.copyfileobj(part, f, 16 << 20)
+    finally:
+        shutil.rmtree(parts_dir, ignore_errors=True)
+    return total
 
 
 # ---------------------------------------------------------------------------
 # binary CSC (.bin)
 # ---------------------------------------------------------------------------
 
-def write_bin_csc(edges: DataFrame, nrows: int, ncols: int, path: str) -> int:
+def write_bin_csc(
+    edges: DataFrame, nrows: int, ncols: int, path: str, num_buckets: Optional[int] = None
+) -> int:
     """The reference converter's output format (mtx_to_bin.c:320-368):
     CSC over the ALREADY-EXPANDED edge set — (src,dst) becomes
     row_idx=src within column dst, columns sorted, rows sorted per column.
-    Driver-side (single sequential binary stream); returns nnz."""
-    pdf = edges.select(
+
+    Distributed chunked write: columns are split into the reference's
+    contiguous blocks; each block's task sorts its edges, writes its raw
+    uint32 per-column counts and row indices as part files, and the driver
+    streams header -> cumulative col_ptr (one block chunk in memory at a
+    time) -> row parts into the final file. ``num_buckets`` bounds per-task
+    memory (one bucket's edges); raise it for dense graphs. Returns nnz."""
+    path = os.path.abspath(path)
+    spark = edges.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    B = max(1, min(num_buckets, ncols)) if ncols else 1
+    per, rem, thr = _bucket_blocks(ncols, B) if ncols else (0, 0, 0)
+    parts_dir = path + ".parts"
+    os.makedirs(parts_dir, exist_ok=True)
+    df = edges.select(
         F.col("dst").cast("long").alias("col"), F.col("src").cast("long").alias("row")
-    ).orderBy("col", "row").toPandas()
-    col = pdf["col"].to_numpy()
-    row = pdf["row"].to_numpy()
-    if len(col) and (col.min() < 0 or col.max() >= ncols or row.min() < 0 or row.max() >= nrows):
-        raise GraphFormatError("edge endpoint out of bounds for declared shape")
-    col_ptr = np.zeros(ncols + 1, dtype=np.uint64)
-    np.add.at(col_ptr, col + 1, 1)
-    col_ptr = np.cumsum(col_ptr)
-    if col_ptr[-1] > np.iinfo(np.uint32).max:
+    )
+    if ncols and per:
+        bucket = F.expr(
+            f"CASE WHEN col < {thr} THEN col DIV {per + 1} "
+            f"ELSE {rem} + (col - {thr}) DIV {per} END"
+        )
+    else:
+        bucket = F.lit(0)
+
+    def write_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bk = int(key[0])
+        start, end = _bucket_bounds(bk, per, rem)
+        col = pdf["col"].to_numpy(dtype=np.int64)
+        row = pdf["row"].to_numpy(dtype=np.int64)
+        if col.min() < 0 or col.max() >= ncols or row.min() < 0 or row.max() >= nrows:
+            raise GraphFormatError("edge endpoint out of bounds for declared shape")
+        order = np.lexsort((row, col))
+        col, row = col[order], row[order]
+        counts = np.bincount(col - start, minlength=end - start).astype("<u4")
+        tmp = os.path.join(parts_dir, f".tmp-{bk:06d}-{os.getpid()}")
+        with open(tmp, "wb") as f:
+            counts.tofile(f)
+        os.replace(tmp, os.path.join(parts_dir, f"cnt-{bk:06d}"))
+        tmp = tmp + "r"
+        with open(tmp, "wb") as f:
+            row.astype("<u4").tofile(f)
+        os.replace(tmp, os.path.join(parts_dir, f"rows-{bk:06d}"))
+        return pd.DataFrame({"bucket": [bk], "n": [len(row)]})
+
+    res = _collect_or_raise(
+        df.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .applyInPandas(write_bucket, "bucket long, n long")
+    )
+    nnz = sum(r["n"] for r in res)
+    if nnz > np.iinfo(np.uint32).max:
+        shutil.rmtree(parts_dir, ignore_errors=True)
         raise GraphFormatError("nnz exceeds uint32 col_ptr capacity (format limit)")
-    with open(path, "wb") as f:
-        f.write(_HEADER_STRUCT.pack(nrows, ncols, len(row)))
-        col_ptr.astype(np.uint32).tofile(f)
-        row.astype(np.uint32).tofile(f)
-    return len(row)
+    try:
+        with open(path, "wb") as out:
+            out.write(_HEADER_STRUCT.pack(nrows, ncols, nnz))
+            running = 0
+            np.zeros(1, dtype="<u4").tofile(out)  # col_ptr[0] = 0
+            for bk in range(B):
+                start, end = _bucket_bounds(bk, per, rem)
+                width = end - start
+                if width <= 0:
+                    continue
+                cnt_path = os.path.join(parts_dir, f"cnt-{bk:06d}")
+                if os.path.exists(cnt_path):
+                    counts = np.fromfile(cnt_path, dtype="<u4").astype(np.int64)
+                else:
+                    counts = np.zeros(width, dtype=np.int64)
+                cum = running + np.cumsum(counts)
+                cum.astype("<u4").tofile(out)
+                running = int(cum[-1])
+            for bk in range(B):
+                rows_path = os.path.join(parts_dir, f"rows-{bk:06d}")
+                if os.path.exists(rows_path):
+                    with open(rows_path, "rb") as part:
+                        shutil.copyfileobj(part, out, 16 << 20)
+    finally:
+        shutil.rmtree(parts_dir, ignore_errors=True)
+    return nnz
 
 
 def read_bin_header(path: str) -> dict:

@@ -168,3 +168,154 @@ def test_bin_empty_graph(spark, tmp_path):
     assert write_bin_csc(empty, 5, 5, p) == 0
     edges, header = read_bin_csc(spark, p)
     assert header["nnz"] == 0 and edges.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-3: vectorized windowed scan + distributed chunked export
+# ---------------------------------------------------------------------------
+
+def test_read_mtx_no_rdd_text_scan(spark, fixture_mtx, monkeypatch):
+    """The .mtx scan must be the windowed mapInPandas path — no
+    sc.textFile / zipWithIndex per-row Python stage anywhere (the round-2
+    verdict's scale-killer)."""
+    def _banned(*a, **k):
+        raise AssertionError("sc.textFile used in read_mtx — RDD scan regression")
+
+    monkeypatch.setattr(type(spark.sparkContext), "textFile", _banned)
+    edges, header = read_mtx(spark, fixture_mtx)
+    assert header["nnz"] == len(FIXTURE_PAIRS)
+    assert _edge_set(edges) == _sym(FIXTURE_PAIRS)
+
+
+def test_read_mtx_tiny_windows_alignment(spark, fixture_mtx, monkeypatch):
+    """Force pathologically small byte windows so every line boundary is
+    exercised: window alignment must neither lose nor duplicate entries."""
+    from pds_hw2_mpi_connected_components_spark.sources import graph_io
+
+    monkeypatch.setattr(graph_io, "_WINDOW_BYTES", 7)
+    edges, _ = read_mtx(spark, fixture_mtx)
+    assert _edge_set(edges) == _sym(FIXTURE_PAIRS)
+
+
+def test_mtx_body_comments_and_blanks(spark, tmp_path):
+    """Interior comment/blank lines in the coordinate body are tolerated
+    (the reference's fscanf skips whitespace; %-comments are MM-legal)."""
+    p = str(tmp_path / "c.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern symmetric\n")
+        f.write("3 3 2\n")
+        f.write("2 1\n")
+        f.write("\n% interior comment\n   \n")
+        f.write("3 2\n")
+    edges, _ = read_mtx(spark, p)
+    assert _edge_set(edges) == {(1, 0), (0, 1), (2, 1), (1, 2)}
+
+
+def test_mtx_array_body_comment_does_not_shift(spark, tmp_path):
+    """Array format: a blank or comment line inside the dense value body
+    must NOT shift subsequent values to the wrong matrix cell (round-2
+    advice finding). Values are positioned by rank among valid data lines."""
+    p = str(tmp_path / "a2.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix array real symmetric\n")
+        f.write("2 2\n")
+        f.write("0.0\n1.0\n")
+        f.write("% interior comment\n\n")
+        f.write("1.0\n0.0\n")
+    edges, header = read_mtx(spark, p)
+    assert header["nnz"] == 4
+    assert _edge_set(edges) == {(0, 1), (1, 0)}
+
+
+def test_mtx_array_count_mismatch_raises(spark, tmp_path):
+    p = str(tmp_path / "a3.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix array real symmetric\n")
+        f.write("2 2\n0.0\n1.0\n1.0\n")  # 3 values, expected 4
+    with pytest.raises(GraphFormatError, match="expected nrows\\*ncols"):
+        read_mtx(spark, p)
+
+
+def test_mtx_unparseable_token_raises(spark, tmp_path):
+    """ANSI-mode regression guard: malformed tokens must surface as
+    GraphFormatError, not an opaque task-level cast error."""
+    p = str(tmp_path / "u.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern symmetric\n")
+        f.write("3 3 2\n2 1\nx 1\n")
+    with pytest.raises(GraphFormatError, match="unparseable"):
+        read_mtx(spark, p)
+
+
+def test_writers_never_collect_to_driver(spark, fixture_mtx, tmp_path, monkeypatch):
+    """Both exporters are distributed chunked writers: a full toPandas of
+    the edge set (the round-2 driver-OOM finding) is banned outright."""
+    import pyspark.sql
+
+    edges, _ = read_mtx(spark, fixture_mtx)
+
+    def _banned(self, *a, **k):
+        raise AssertionError("DataFrame.toPandas called inside a graph writer")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "toPandas", _banned)
+    out_mtx = str(tmp_path / "d.mtx")
+    out_bin = str(tmp_path / "d.bin")
+    assert write_mtx(edges, FIXTURE_N, out_mtx) == len(FIXTURE_PAIRS)
+    assert write_bin_csc(edges, FIXTURE_N, FIXTURE_N, out_bin) == 2 * len(FIXTURE_PAIRS)
+    monkeypatch.undo()
+    edges2, _ = read_mtx(spark, out_mtx)
+    assert _edge_set(edges2) == _edge_set(edges)
+    edges3, _ = read_bin_csc(spark, out_bin)
+    assert _edge_set(edges3) == _edge_set(edges)
+
+
+def test_write_bin_rejects_out_of_shape(spark, tmp_path):
+    bad = spark.createDataFrame([(0, 9)], "src long, dst long")  # dst >= ncols
+    with pytest.raises(GraphFormatError, match="out of bounds"):
+        write_bin_csc(bad, 3, 3, str(tmp_path / "b.bin"))
+
+
+def test_big_roundtrip_10m_edges(spark, tmp_path):
+    """>=10M-edge export/ingest roundtrip with bounded driver memory: the
+    writers stream bucket part files (reference converter's chunked-write
+    analog, mtx_to_bin.c:333-373) and must preserve the exact edge set —
+    verified by count + order-insensitive xxhash64 checksum, plus CSC
+    col_ptr integrity via the windowed reader."""
+    n_v = 4_000_000
+    n_e = 10_000_000
+    edges = (
+        spark.range(n_e)
+        .select(
+            (F.col("id") % n_v).alias("src"),
+            ((F.col("id") * 2654435761) % n_v).alias("dst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def chk(df):
+        return df.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("src", "dst")).alias("h")
+        ).collect()[0]
+
+    p_bin = str(tmp_path / "big.bin")
+    nnz = write_bin_csc(edges, n_v, n_v, p_bin, num_buckets=16)
+    assert nnz == n_e
+    back, header = read_bin_csc(spark, p_bin, num_partitions=16)
+    a, b = chk(edges), chk(back)
+    assert (a["n"], a["h"]) == (b["n"], b["h"])
+
+    p_mtx = str(tmp_path / "big.mtx")
+    stored = write_mtx(edges, n_v, p_mtx, num_buckets=16)
+    tri = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    assert stored == tri.count()
+    back2, _ = read_mtx(spark, p_mtx)
+    # read_mtx returns the symmetric closure of the stored lower triangle
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    c, d = chk(sym), chk(back2)
+    assert (c["n"], c["h"]) == (d["n"], d["h"])
