@@ -19,6 +19,18 @@ hash(vid) per iteration, so the gather join and the keep-own-label join are
 exchange-free; the two aggregations (count per (dst,label), then min-struct
 per dst — an agg with map-side partials instead of a window sort) are the
 only data shuffles.
+
+Frontier early-exit (round 3 — LP's analog of the CC frontier in
+operators/frontier.py): a vertex's label can only change if at least one
+NEIGHBOR's label changed in the previous superstep, so once the changed set
+is small, only the "dirty" dsts (those with a changed in-neighbor) need
+re-aggregation — every other vertex provably keeps its label (its
+neighborhood label multiset is unchanged, so the deterministic top-1 is
+unchanged). The changed set is broadcast into a semi-join to find dirty
+dsts, the dirty set is broadcast back to filter the gather, and the
+count/top-1 shuffles shrink from edge-scale to dirty-neighborhood-scale.
+Results are bit-identical to the full superstep (tested), because this is
+an exact rewrite, not an approximation.
 """
 
 from __future__ import annotations
@@ -59,9 +71,19 @@ def label_propagation(
     vertices: Optional[DataFrame] = None,
     max_iter: int = 20,
     checkpoint: Optional[CheckpointStore] = None,
+    frontier_threshold: int = 1_000_000,
+    dirty_broadcast_threshold: int = 2_000_000,
 ) -> tuple[DataFrame, list[dict]]:
     """Run synchronous LP to convergence (no label changes) or max_iter.
-    Returns ((vid,label), metrics)."""
+    Returns ((vid,label), metrics).
+
+    ``frontier_threshold``: max changed-vertex rows for which an iteration
+    attempts the dirty-dst frontier rewrite (the changed set is broadcast —
+    1M rows ~= 16 MB). ``dirty_broadcast_threshold``: max dirty-dst rows to
+    broadcast into the gather filter; if the dirty set is larger the
+    iteration falls back to the full superstep (same results either way —
+    the frontier path is an exact rewrite). Set ``frontier_threshold=-1``
+    to force full supersteps."""
     n_part = int(sym_edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     if vertices is None:
         vertices = (
@@ -90,19 +112,50 @@ def label_propagation(
         )
 
     metrics: list[dict] = []
+    changed_df: Optional[DataFrame] = None  # None => assume everything changed
+    changed = None
     for it in range(start_iter, max_iter):
         t0 = time.monotonic()
-        new_labels = lp_superstep(sym_edges, labels)
+        mode, dirty_rows, gather_edges = "full", None, sym_edges
+        if changed_df is not None and changed <= frontier_threshold:
+            # dirty dsts = vertices with at least one changed in-neighbor —
+            # the only vertices whose top-1 can differ this superstep.
+            dirty = (
+                sym_edges.join(
+                    F.broadcast(changed_df.select(F.col("vid").alias("src"))),
+                    "src",
+                    "left_semi",
+                )
+                .select(F.col("dst").alias("vid"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            dirty_rows = dirty.count()
+            if dirty_rows <= dirty_broadcast_threshold:
+                mode = "frontier"
+                gather_edges = sym_edges.join(
+                    F.broadcast(dirty.select(F.col("vid").alias("dst"))),
+                    "dst",
+                    "left_semi",
+                )
+        # non-dirty vertices keep their label via lp_superstep's left-join
+        # coalesce — exactly what a full recompute would assign them.
+        new_labels = lp_superstep(gather_edges, labels)
         if checkpoint is not None:
             new_labels = checkpoint.write("labelprop", it, new_labels)
         new_labels = new_labels.repartition(n_part, "vid").localCheckpoint(eager=True)
-        changed = (
+        changed_df = (
             new_labels.alias("a")
             .join(labels.alias("b"), "vid")
             .where(F.col("a.label") != F.col("b.label"))
-            .count()
+            .select("vid")
+            .localCheckpoint(eager=True)
         )
-        metrics.append({"iter": it, "changed": changed, "sec": time.monotonic() - t0})
+        changed = changed_df.count()
+        m = {"iter": it, "changed": changed, "mode": mode, "sec": time.monotonic() - t0}
+        if dirty_rows is not None:
+            m["dirty"] = dirty_rows
+        metrics.append(m)
         if checkpoint is not None:
             checkpoint.log_metrics("labelprop", metrics[-1])
         labels = new_labels

@@ -120,3 +120,25 @@ def test_triangles_random_vs_oracle(spark):
         if b in adj[a] and c in adj[a] and c in adj[b]
     )
     assert triangle_count(make_edges(spark, list(pairs))) == want
+
+
+def test_labelprop_frontier_matches_full(spark):
+    # irregular graph: two cliques + bridge + path tail + isolates-by-edge —
+    # several iterations with a shrinking changed set, so the dirty-dst
+    # frontier path actually engages (metrics prove it) and must reproduce
+    # the full superstep bit-for-bit at every vertex.
+    pairs = (
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+        + [(4, 5), (8, 9), (9, 10), (10, 11), (12, 13)]
+    )
+    sym = symmetrize(make_edges(spark, pairs))
+    full, m_full = label_propagation(sym, max_iter=8, frontier_threshold=-1)
+    fast, m_fast = label_propagation(sym, max_iter=8)
+    assert all(m["mode"] == "full" for m in m_full)
+    assert any(m["mode"] == "frontier" for m in m_fast), m_fast
+    a = {r["vid"]: r["label"] for r in full.collect()}
+    b = {r["vid"]: r["label"] for r in fast.collect()}
+    assert a == b
+    # per-iteration changed counts identical => identical trajectories
+    assert [m["changed"] for m in m_full] == [m["changed"] for m in m_fast]
