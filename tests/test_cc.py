@@ -80,3 +80,39 @@ def test_cc_salted_random_hub_graph(spark):
     salted, _ = connected_components(make_edges(spark, pairs), salt_buckets=8)
     got = {r["vid"]: r["label"] for r in salted.collect()}
     assert got == cc_oracle(pairs)
+
+
+# ---------------------------------------------------------------------------
+# round-3: the public cc() facade with mode auto-selection
+# ---------------------------------------------------------------------------
+
+def test_cc_facade_routes_and_agrees(spark, tmp_path):
+    from pds_hw2_mpi_connected_components_spark.operators import cc
+    from pds_hw2_mpi_connected_components_spark.plans.checkpoint import CheckpointStore
+
+    pairs = [(0, 1), (1, 2), (3, 4), (5, 6), (6, 7), (7, 5)]
+    edges = spark.createDataFrame(pairs, "src long, dst long").localCheckpoint(eager=True)
+
+    # small vertex set -> auto picks csr (the measured-fastest small regime)
+    r_auto = cc(edges)
+    assert r_auto.mode == "csr"
+    # past the csr vertex cap -> auto picks df (the distributed scale mode)
+    r_df = cc(edges, csr_max_vertices=0)
+    assert r_df.mode == "df"
+    # a checkpoint store forces a resumable mode even below the cap
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    r_ck = cc(edges, checkpoint=store)
+    assert r_ck.mode == "df"
+    # explicit frontier opt-in is honored
+    r_fr = cc(edges, mode="frontier")
+    assert r_fr.mode == "frontier"
+
+    want = {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 5, 7: 5}
+    for r in (r_auto, r_df, r_ck, r_fr):
+        got = {x["vid"]: x["label"] for x in r.labels.collect()}
+        assert got == want, r.mode
+
+    with pytest.raises(ValueError, match="checkpoint"):
+        cc(edges, mode="csr", checkpoint=store)
+    with pytest.raises(ValueError, match="unknown cc mode"):
+        cc(edges, mode="mpi")
