@@ -2,13 +2,23 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, ...}
 
-Mirrors the reference's benchmark protocol (/root/reference/src/benchmark.c:
-242-321): each leg is timed around its terminal action (stage barriers =
-MPI barriers), and CC throughput is reported as edges/sec (reference
-definition: nnz / mean_time, benchmark.c:308 — our nnz = deduped directed
-edge count of the symmetrized graph, documented in BASELINE.md).
+Protocol (round 3 — regression-proof): the WHOLE suite runs
+$SPARK_GRAFT_TRIALS times (default 3), interleaved at suite level so host
+noise hits every leg, not one; per-leg medians go into "queries" (and sum
+into "value"), with raw per-trial times in "trials" and stddev in "stddev"
+so a cross-round delta can be adjudicated against within-run spread instead
+of a single shot. Mirrors the reference's trialed protocol
+(/root/reference/src/benchmark.c:50-87,242-288: -n trials + min/mean/stddev).
+
+A Spark-free CPU probe (fixed sha256 work over 8 vs 32 processes, the
+tools/bench_scaling.py hardware_probe) runs BEFORE the JVM starts and is
+embedded in the output: this VM is a shared host whose effective CPU quota
+varies run to run, and the probe lets a reader normalize cross-round
+comparisons. CC throughput is edges/sec (reference definition: nnz /
+mean_time, benchmark.c:308 — our nnz = deduped directed edge count of the
+symmetrized graph, documented in BASELINE.md).
 
 The scaling-efficiency evidence (same job at local[8] vs local[32]) lives in
 tools/bench_scaling.py -> BENCH/BASELINE.md; this file is the per-round
@@ -19,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -57,21 +68,36 @@ from pds_hw2_mpi_connected_components_spark.sources.doc_edges import (  # noqa: 
 from pds_hw2_mpi_connected_components_spark.sources.graph_build import build_graph, symmetrize  # noqa: E402
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark(master=f"local[{cpus}]", app_name="bench",
-                      shuffle_partitions=max(8, cpus))
-    timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+def _burn_unit(n: int) -> int:
+    import hashlib
 
-    def timed(name: str, fn):
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return h[0]
+
+
+def cpu_probe() -> dict:
+    """Spark-free shared-host quota probe (tools/bench_scaling.py's
+    hardware_probe, trimmed): fixed sha256 work over 8 vs 32 processes.
+    MUST run before the JVM exists (fork safety)."""
+    import multiprocessing as mp
+
+    out = {}
+    for procs in (8, 32):
         t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
-        return out
+        with mp.Pool(procs) as p:
+            p.map(_burn_unit, [100_000] * 96)
+        out[f"probe_procs_{procs}_sec"] = round(time.monotonic() - t0, 2)
+    out["probe_eff_8_to_32"] = round(
+        out["probe_procs_8_sec"] / out["probe_procs_32_sec"] / 4, 3
+    )
+    return out
 
+
+def run_suite(spark, sf_dir: str, cpus: int, timed) -> dict:
+    """One full pass over every headline leg. ``timed(name, fn)`` records a
+    leg; returns pass-invariant graph stats for the throughput extras."""
     # -- flagship end-to-end: pages -> extract -> graph -> CC ------------
     n_pages = 30_000
     pages = generate_pages(spark, n_pages, n_components=16, num_partitions=cpus)
@@ -92,9 +118,6 @@ def main() -> None:
         return m
 
     cc_metrics = timed("pipeline_cc", _cc)
-    extras["cc_edges_per_sec"] = round(n_edges_sym / timings["pipeline_cc"], 1)
-    extras["cc_rounds"] = len(cc_metrics)
-    extras["cc_sym_edges"] = n_edges_sym
 
     # -- document-graph queries at the sf dir ----------------------------
     eg = doc_edges_global(spark, sf_dir).localCheckpoint(eager=True)
@@ -141,15 +164,51 @@ def main() -> None:
     timed("tpch_q1", lambda: li.groupBy("l_returnflag", "l_linestatus")
           .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*")).collect())
 
-    total = round(sum(timings.values()), 3)
+    return {"cc_sym_edges": n_edges_sym, "cc_rounds": len(cc_metrics)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    probe = cpu_probe()  # before the JVM: fork-safe, and measures the host bare
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="bench",
+                      shuffle_partitions=max(8, cpus))
+    trials: dict[str, list[float]] = {}
+    stats: dict = {}
+    for _ in range(n_trials):
+        def timed(name: str, fn):
+            t0 = time.monotonic()
+            out = fn()
+            trials.setdefault(name, []).append(round(time.monotonic() - t0, 3))
+            return out
+
+        stats = run_suite(spark, sf_dir, cpus, timed)
+        spark.catalog.clearCache()
+
+    queries = {k: round(statistics.median(v), 3) for k, v in trials.items()}
+    stddev = {
+        k: round(statistics.stdev(v), 3) if len(v) > 1 else 0.0
+        for k, v in trials.items()
+    }
+    total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": queries,
+        "trials": trials,
+        "stddev": stddev,
+        "n_trials": n_trials,
         "sf": sf,
         "cpus": cpus,
-        **extras,
+        "cc_edges_per_sec": round(stats["cc_sym_edges"] / queries["pipeline_cc"], 1),
+        "cc_rounds": stats["cc_rounds"],
+        "cc_sym_edges": stats["cc_sym_edges"],
+        **probe,
     }))
     spark.stop()
 

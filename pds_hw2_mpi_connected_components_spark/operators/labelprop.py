@@ -73,17 +73,24 @@ def label_propagation(
     checkpoint: Optional[CheckpointStore] = None,
     frontier_threshold: int = 1_000_000,
     dirty_broadcast_threshold: int = 2_000_000,
+    frontier_fraction: float = 0.125,
 ) -> tuple[DataFrame, list[dict]]:
     """Run synchronous LP to convergence (no label changes) or max_iter.
     Returns ((vid,label), metrics).
 
     ``frontier_threshold``: max changed-vertex rows for which an iteration
     attempts the dirty-dst frontier rewrite (the changed set is broadcast —
-    1M rows ~= 16 MB). ``dirty_broadcast_threshold``: max dirty-dst rows to
-    broadcast into the gather filter; if the dirty set is larger the
-    iteration falls back to the full superstep (same results either way —
-    the frontier path is an exact rewrite). Set ``frontier_threshold=-1``
-    to force full supersteps."""
+    1M rows ~= 16 MB). ``frontier_fraction``: additionally require
+    changed <= frontier_fraction * n_vertices — while most of the graph is
+    still churning, the dirty set is ~the whole vertex set and the filter is
+    pure overhead (measured 1.5x slower at sf0.1, where >60% of vertices
+    change every one of the first 5 iterations); the frontier pays off on
+    the CONVERGENCE tail, where changed collapses and dirty neighborhoods
+    are genuinely sparse. ``dirty_broadcast_threshold``: max dirty-dst rows
+    to broadcast into the gather filter; a larger dirty set falls back to
+    the full superstep (same results either way — the frontier path is an
+    exact rewrite). Set ``frontier_threshold=-1`` to force full
+    supersteps."""
     n_part = int(sym_edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     if vertices is None:
         vertices = (
@@ -112,12 +119,14 @@ def label_propagation(
         )
 
     metrics: list[dict] = []
+    n_vertices = labels.count()
+    changed_gate = min(frontier_threshold, max(1, int(n_vertices * frontier_fraction)))
     changed_df: Optional[DataFrame] = None  # None => assume everything changed
     changed = None
     for it in range(start_iter, max_iter):
         t0 = time.monotonic()
         mode, dirty_rows, gather_edges = "full", None, sym_edges
-        if changed_df is not None and changed <= frontier_threshold:
+        if changed_df is not None and changed <= changed_gate:
             # dirty dsts = vertices with at least one changed in-neighbor —
             # the only vertices whose top-1 can differ this superstep.
             dirty = (

@@ -134,7 +134,9 @@ def test_labelprop_frontier_matches_full(spark):
     )
     sym = symmetrize(make_edges(spark, pairs))
     full, m_full = label_propagation(sym, max_iter=8, frontier_threshold=-1)
-    fast, m_fast = label_propagation(sym, max_iter=8)
+    # frontier_fraction=1.0: engage the dirty path as soon as anything is
+    # countable (the production default waits for the convergence tail)
+    fast, m_fast = label_propagation(sym, max_iter=8, frontier_fraction=1.0)
     assert all(m["mode"] == "full" for m in m_full)
     assert any(m["mode"] == "frontier" for m in m_fast), m_fast
     a = {r["vid"]: r["label"] for r in full.collect()}

@@ -39,6 +39,11 @@ N_COMPONENTS = 64
 def main() -> None:
     n_vertices = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000_000
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Spark-free CPU-quota probe first (fork-safe only before the JVM): the
+    # shared host's effective cores contextualize every absolute number below.
+    from tools.bench_scaling import hardware_probe  # repo root is on sys.path
+
+    probe = hardware_probe()
     spark = get_spark(master=f"local[{cpus}]", app_name="throughput",
                       shuffle_partitions=cpus * 2,
                       extra_conf={"spark.driver.memory": "90g"})
@@ -47,7 +52,7 @@ def main() -> None:
     n_edges = edges.count()
     n_sym = symmetrize(edges).count()
     out = {"n_vertices": n_vertices, "directed_edges": n_edges,
-           "sym_edges": n_sym, "cpus": cpus}
+           "sym_edges": n_sym, "cpus": cpus, **probe}
 
     t0 = time.monotonic()
     labels, m = connected_components(edges)
