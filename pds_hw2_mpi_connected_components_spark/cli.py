@@ -6,7 +6,7 @@ JSON benchmark report (src/json.c:13-70, src/benchmark.c:298-321).
 
 Here:
     python -m pds_hw2_mpi_connected_components_spark.cli ingest --pages P --out DIR
-    python -m pds_hw2_mpi_connected_components_spark.cli cc [-n TRIALS] --edges DIR [--mode df|csr]
+    python -m pds_hw2_mpi_connected_components_spark.cli cc [-n TRIALS] --edges DIR [--mode auto|df|csr|frontier]
     python -m pds_hw2_mpi_connected_components_spark.cli pagerank --edges DIR [--alpha A]
 
 ``ingest`` replaces the mtx_to_bin converter (pages parquet -> vertices +
@@ -28,8 +28,9 @@ import time
 
 from pyspark.sql import functions as F
 
-from .operators.cc import cc_count, connected_components
-from .operators.csr import connected_components_csr, pagerank_csr
+from .operators.cc import cc_count
+from .operators.csr import pagerank_csr
+from .operators.facade import cc
 from .operators.pagerank import pagerank
 from .plans.session import get_spark
 from .sources.graph_build import build_graph, symmetrize
@@ -102,17 +103,17 @@ def cmd_cc(args: argparse.Namespace) -> int:
     n_edges = edges.count()
     n_sym = symmetrize(edges).count()
 
-    runner = connected_components_csr if args.mode == "csr" else connected_components
     times, counts, checksums = [], [], []
-    rounds = 0
+    rounds, mode_used = 0, args.mode
     for _ in range(args.n_trials):
         t0 = time.monotonic()
-        labels, metrics = runner(edges)
-        n_comp = cc_count(labels)
+        result = cc(edges, mode=args.mode)
+        n_comp = cc_count(result.labels)
         times.append(time.monotonic() - t0)
         counts.append(n_comp)
-        rounds = len(metrics)
-        h = labels.agg(F.bit_xor(F.xxhash64("vid", "label"))).collect()[0][0]
+        rounds = len(result.metrics)
+        mode_used = result.mode
+        h = result.labels.agg(F.bit_xor(F.xxhash64("vid", "label"))).collect()[0][0]
         checksums.append(h)
 
     consistent = len(set(counts)) == 1 and len(set(checksums)) == 1
@@ -121,7 +122,7 @@ def cmd_cc(args: argparse.Namespace) -> int:
         "graph": {"directed_edges": n_edges, "sym_edges_nnz": n_sym},
         "benchmark": {
             "n_trials": args.n_trials,
-            "mode": args.mode,
+            "mode": mode_used,
             "rounds_to_convergence": rounds,
             **_time_stats(times),
         },
@@ -175,7 +176,8 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("-n", "--n-trials", type=int, default=3)  # default 3, args.c:83-147
     pc.add_argument("--edges", required=True,
                     help="edge source: parquet dir, .mtx, or .bin")
-    pc.add_argument("--mode", choices=["df", "csr"], default="df")
+    pc.add_argument("--mode", choices=["auto", "df", "csr", "frontier"], default="df",
+                    help="execution mode; auto picks by vertex count (operators/facade.py)")
     pc.set_defaults(fn=cmd_cc)
 
     pp = sub.add_parser("pagerank")
