@@ -68,31 +68,19 @@ from pds_hw2_mpi_connected_components_spark.sources.doc_edges import (  # noqa: 
 from pds_hw2_mpi_connected_components_spark.sources.graph_build import build_graph, symmetrize  # noqa: E402
 
 
-def _burn_unit(n: int) -> int:
-    import hashlib
-
-    h = b"x"
-    for _ in range(n):
-        h = hashlib.sha256(h).digest()
-    return h[0]
-
-
 def cpu_probe() -> dict:
-    """Spark-free shared-host quota probe (tools/bench_scaling.py's
-    hardware_probe, trimmed): fixed sha256 work over 8 vs 32 processes.
-    MUST run before the JVM exists (fork safety)."""
-    import multiprocessing as mp
+    """Spark-free shared-host quota probe: delegates to the repo's single
+    probe implementation (tools/bench_scaling.hardware_probe) with a
+    trimmed 8-vs-32 workload. MUST run before the JVM exists (fork
+    safety). Keys keep the probe_ prefix for artifact continuity."""
+    from tools.bench_scaling import hardware_probe
 
-    out = {}
-    for procs in (8, 32):
-        t0 = time.monotonic()
-        with mp.Pool(procs) as p:
-            p.map(_burn_unit, [100_000] * 96)
-        out[f"probe_procs_{procs}_sec"] = round(time.monotonic() - t0, 2)
-    out["probe_eff_8_to_32"] = round(
-        out["probe_procs_8_sec"] / out["probe_procs_32_sec"] / 4, 3
-    )
-    return out
+    hw = hardware_probe(procs=(8, 32), units=96, unit_work=100_000)
+    return {
+        "probe_procs_8_sec": hw["procs_8_sec"],
+        "probe_procs_32_sec": hw["procs_32_sec"],
+        "probe_eff_8_to_32": hw["eff_8_to_32"],
+    }
 
 
 def run_suite(spark, sf_dir: str, cpus: int, timed) -> dict:

@@ -24,8 +24,9 @@ a 2M-vertex label vector is a 16 MB broadcast per superstep — comfortably
 inside executor memory, and past the point where csr's fixed-cost advantage
 has already faded into df's territory) AND no checkpoint store was given
 (csr is not resumable); otherwise ``df``. The vertex count is taken from
-``vertices`` when provided, else one distinct-count over the edge
-endpoints — a scan the caller was going to pay anyway for label init.
+``vertices`` when provided; else the distinct edge-endpoint universe is
+materialized ONCE here and handed to the selected mode, so the routing
+count and the mode's own label init share a single scan.
 """
 
 from __future__ import annotations
@@ -69,7 +70,16 @@ def cc(
         raise ValueError(f"unknown cc mode {mode!r}: use auto|df|csr|frontier")
     chosen = mode
     if mode == "auto":
-        n = _vertex_count(edges, vertices)
+        if vertices is None:
+            # materialize the vertex universe ONCE and hand it to the chosen
+            # mode — the count below and the mode's label init share the scan
+            vertices = (
+                edges.select(F.col("src").alias("vid"))
+                .union(edges.select(F.col("dst").alias("vid")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        n = vertices.count()
         chosen = "csr" if (n <= csr_max_vertices and checkpoint is None) else "df"
     if chosen == "csr":
         if checkpoint is not None:
@@ -90,14 +100,3 @@ def cc(
             edges, vertices=vertices, checkpoint=checkpoint, salt_buckets=salt_buckets
         )
     return CCResult(labels, metrics, chosen)
-
-
-def _vertex_count(edges: DataFrame, vertices: Optional[DataFrame]) -> int:
-    if vertices is not None:
-        return vertices.count()
-    return (
-        edges.select(F.col("src").alias("vid"))
-        .union(edges.select(F.col("dst").alias("vid")))
-        .distinct()
-        .count()
-    )

@@ -69,6 +69,11 @@ def _read_mtx_header(path: str) -> tuple[dict, int]:
         fmt, field, symmetry = parts[2].lower(), parts[3].lower(), parts[4].lower()
         if fmt not in ("coordinate", "array"):
             raise GraphFormatError(f"unsupported format {fmt!r}")
+        if field not in ("pattern", "real", "integer", "double"):
+            # complex entries carry 2 value tokens per line — the fixed
+            # column layout below (and the reference's fscanf, mtx_to_bin.c
+            # :133-136) would silently misassign them; refuse up front.
+            raise GraphFormatError(f"unsupported MatrixMarket field {field!r}")
         if symmetry != "symmetric":
             # the reference refuses non-symmetric inputs (mtx_to_bin.c:115-123)
             raise GraphFormatError(
@@ -227,7 +232,7 @@ def read_mtx(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
 
         def load(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for b in batches:
-                for start, end in zip(b["start"], b["end"]):
+                for wid, start, end in zip(b["wid"], b["start"], b["end"]):
                     with open(path, "rb") as f:
                         a0, b0 = _aligned_span(f, int(start), int(end), body_off, fsize)
                         if b0 <= a0:
@@ -237,6 +242,13 @@ def read_mtx(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
                     pdf = _parse_window(data, names, path)
                     if pdf is None:
                         continue
+                    # per-window entry-count marker (src < 0 cannot collide
+                    # with real 0-based ids; wid keys keep markers distinct):
+                    # lets the driver verify the declared nnz without a
+                    # second file scan — truncated bodies fail loudly.
+                    yield pd.DataFrame(
+                        {"src": [-(int(wid) + 1)], "dst": [len(pdf)]}
+                    )
                     i = pd.to_numeric(pdf["i"], errors="coerce")
                     j = pd.to_numeric(pdf["j"], errors="coerce")
                     bad = (
@@ -259,7 +271,18 @@ def read_mtx(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
                     jj = j.to_numpy(dtype=np.int64)[keep] - 1
                     yield _expand_pairs(ii, jj)
 
-        edges = spec.mapInPandas(load, schema="src long, dst long").distinct()
+        raw = _materialize_or_raise(spec.mapInPandas(load, schema="src long, dst long"))
+        parsed = raw.where(F.col("src") < 0).agg(
+            F.coalesce(F.sum("dst"), F.lit(0)).alias("n")
+        ).collect()[0]["n"]
+        if parsed != header["nnz"]:
+            raise GraphFormatError(
+                f"coordinate body has {parsed} entries, header declares "
+                f"{header['nnz']} in {path} (truncated or padded file)"
+            )
+        edges = raw.where(F.col("src") >= 0).distinct()
+        # raw's checkpoint RDD is freed by the ContextCleaner once this
+        # flat result replaces it (same lifecycle as the iterative loops).
         return _materialize_or_raise(edges), header
 
     # array format: column-major dense values (mtx_to_bin.c:219-244), one
@@ -363,6 +386,10 @@ def write_mtx(edges: DataFrame, n: int, path: str, num_buckets: Optional[int] = 
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     B = max(1, min(num_buckets, max(1, n)))
     parts_dir = path + ".parts"
+    # a hard-killed previous export (finally never ran) may have left part
+    # files here; the assembler globs by bucket id, so stale files would be
+    # spliced into the new output — clear first.
+    shutil.rmtree(parts_dir, ignore_errors=True)
     os.makedirs(parts_dir, exist_ok=True)
     tri = edges.select(
         F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
@@ -424,6 +451,10 @@ def write_bin_csc(
     B = max(1, min(num_buckets, ncols)) if ncols else 1
     per, rem, thr = _bucket_blocks(ncols, B) if ncols else (0, 0, 0)
     parts_dir = path + ".parts"
+    # a hard-killed previous export (finally never ran) may have left part
+    # files here; the assembler globs by bucket id, so stale files would be
+    # spliced into the new output — clear first.
+    shutil.rmtree(parts_dir, ignore_errors=True)
     os.makedirs(parts_dir, exist_ok=True)
     df = edges.select(
         F.col("dst").cast("long").alias("col"), F.col("src").cast("long").alias("row")

@@ -319,3 +319,47 @@ def test_big_roundtrip_10m_edges(spark, tmp_path):
     )
     c, d = chk(sym), chk(back2)
     assert (c["n"], c["h"]) == (d["n"], d["h"])
+
+
+def test_mtx_rejects_complex_field(spark, tmp_path):
+    # complex entries carry two value tokens per line; a fixed 3-column parse
+    # would silently shift columns (i<-j, j<-re, v<-im) — must refuse up front
+    p = str(tmp_path / "cplx.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate complex symmetric\n")
+        f.write("3 3 2\n2 1 1.0 0.5\n3 1 2.0 0.0\n")
+    with pytest.raises(GraphFormatError, match="field"):
+        read_mtx(spark, p)
+
+
+def test_mtx_truncated_coordinate_body_raises(spark, tmp_path):
+    # header declares 4 entries, body holds 2 (copy truncated mid-transfer):
+    # must fail loudly instead of returning a graph missing half its edges
+    p = str(tmp_path / "trunc.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern symmetric\n")
+        f.write("5 5 4\n2 1\n3 2\n")
+    with pytest.raises(GraphFormatError, match="header declares"):
+        read_mtx(spark, p)
+
+
+def test_write_bin_ignores_stale_parts(spark, tmp_path):
+    # a hard-killed earlier export leaves part files behind; a new export
+    # must not splice them into its output (bucket 1 is empty in this graph)
+    import os
+
+    pairs = [(0, 1), (1, 0)]  # all edges land in low columns
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    p = str(tmp_path / "stale.bin")
+    parts = p + ".parts"
+    os.makedirs(parts)
+    stale_rows = np.arange(7, dtype="<u4")
+    with open(os.path.join(parts, "cnt-000003"), "wb") as f:
+        np.full(1, 7, dtype="<u4").tofile(f)
+    with open(os.path.join(parts, "rows-000003"), "wb") as f:
+        stale_rows.tofile(f)
+    nnz = write_bin_csc(edges, 8, 8, p, num_buckets=8)
+    assert nnz == 2
+    edges2, header2 = read_bin_csc(spark, p)
+    assert header2["nnz"] == 2
+    assert _edge_set(edges2) == {(0, 1), (1, 0)}

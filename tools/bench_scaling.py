@@ -46,19 +46,25 @@ N_VERTICES_GRAPH = 8_000_000  # standalone CC/PR legs (JVM-generated edges)
 MASTERS = ("local[2]", "local[8]")  # N and 4N: the largest 4x span this VM's CPU quota actually provides (see hardware_probe)
 
 
-def hardware_probe() -> dict:
+def hardware_probe(
+    procs: tuple = (2, 8, 16, 32), units: int = 192, unit_work: int = 200_000
+) -> dict:
     """Measure what the VM's CPU quota actually delivers, independent of
-    Spark: fixed sha256 work split over k processes."""
+    Spark: fixed sha256 work split over k processes. The single source of
+    truth for every probe in the repo (bench.py and bench_throughput.py
+    call this with their own sizes). Fork-based — run BEFORE any JVM."""
     import multiprocessing as mp
 
     out = {}
-    for procs in (2, 8, 16, 32):
+    for k in procs:
         t0 = time.monotonic()
-        with mp.Pool(procs) as p:
-            p.map(_burn_unit, [200_000] * 192)
-        out[f"procs_{procs}_sec"] = round(time.monotonic() - t0, 2)
-    out["eff_2_to_8"] = round(out["procs_2_sec"] / out["procs_8_sec"] / 4, 3)
-    out["eff_8_to_32"] = round(out["procs_8_sec"] / out["procs_32_sec"] / 4, 3)
+        with mp.Pool(k) as p:
+            p.map(_burn_unit, [unit_work] * units)
+        out[f"procs_{k}_sec"] = round(time.monotonic() - t0, 2)
+    if 2 in procs and 8 in procs:
+        out["eff_2_to_8"] = round(out["procs_2_sec"] / out["procs_8_sec"] / 4, 3)
+    if 8 in procs and 32 in procs:
+        out["eff_8_to_32"] = round(out["procs_8_sec"] / out["procs_32_sec"] / 4, 3)
     return out
 
 

@@ -44,6 +44,10 @@ def main() -> None:
                     prev["timings"][k] = min(prev["timings"][k], v)
 
     rn, r4n = results[MASTERS[0]], results[MASTERS[1]]
+    # determinism-under-parallelism: the claim written into BASELINE.md below
+    # must be CHECKED, not assumed (same asserts as the parent tool)
+    assert rn["pipeline_label_checksum"] == r4n["pipeline_label_checksum"]
+    assert rn["graph_label_checksum"] == r4n["graph_label_checksum"]
     for r in (rn, r4n):
         r["cc_edges_per_sec_df"] = round(r["graph_sym_edges"] / r["timings"]["cc_dataframe"], 1)
         r["cc_edges_per_sec_csr"] = round(r["graph_sym_edges"] / r["timings"]["cc_csr"], 1)
