@@ -7,7 +7,7 @@ JSON benchmark report (src/json.c:13-70, src/benchmark.c:298-321).
 Here:
     python -m pds_hw2_mpi_connected_components_spark.cli ingest --pages P --out DIR
     python -m pds_hw2_mpi_connected_components_spark.cli cc [-n TRIALS] --edges DIR [--mode auto|df|csr|frontier]
-    python -m pds_hw2_mpi_connected_components_spark.cli pagerank --edges DIR [--alpha A]
+    python -m pds_hw2_mpi_connected_components_spark.cli pagerank --edges DIR [--alpha A] [--mode auto|df|csr]
 
 ``ingest`` replaces the mtx_to_bin converter (pages parquet -> vertices +
 edges parquet); ``cc`` runs N barriered trials with a trial-consistency
@@ -29,9 +29,7 @@ import time
 from pyspark.sql import functions as F
 
 from .operators.cc import cc_count
-from .operators.csr import pagerank_csr
-from .operators.facade import cc
-from .operators.pagerank import pagerank
+from .operators.facade import cc, pagerank_auto
 from .plans.session import get_spark
 from .sources.graph_build import build_graph, symmetrize
 from .sources.graph_io import GraphFormatError, read_bin_csc, read_mtx, write_bin_csc
@@ -141,14 +139,17 @@ def cmd_cc(args: argparse.Namespace) -> int:
 def cmd_pagerank(args: argparse.Namespace) -> int:
     spark = get_spark(master=args.master, app_name="pr-cli")
     edges = _load_edges(spark, args.edges)
-    runner = pagerank_csr if args.mode == "csr" else pagerank
     t0 = time.monotonic()
-    ranks, metrics = runner(edges, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter)
+    result = pagerank_auto(
+        edges, mode=args.mode, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter
+    )
+    ranks, metrics = result.ranks, result.metrics
     if args.out:
         ranks.write.mode("overwrite").parquet(args.out)
     top = ranks.orderBy(F.desc("rank"), F.asc("vid")).limit(10).collect()
     print(json.dumps({
         "system": _sys_info(spark),
+        "mode": result.mode,
         "iterations": len(metrics),
         "final_l1_delta": metrics[-1]["l1_delta"] if metrics else None,
         "wall_s": time.monotonic() - t0,
@@ -186,7 +187,8 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--alpha", type=float, default=0.85)
     pp.add_argument("--tol", type=float, default=1e-8)
     pp.add_argument("--max-iter", type=int, default=100)
-    pp.add_argument("--mode", choices=["df", "csr"], default="df")
+    pp.add_argument("--mode", choices=["auto", "df", "csr"], default="df",
+                    help="execution mode; auto picks by vertex count (operators/facade.py)")
     pp.add_argument("--out", default=None)
     pp.set_defaults(fn=cmd_pagerank)
 

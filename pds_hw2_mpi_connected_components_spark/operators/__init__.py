@@ -1,5 +1,5 @@
 from .cc import connected_components, cc_count  # noqa: F401
-from .facade import cc, CCResult  # noqa: F401
+from .facade import cc, CCResult, pagerank_auto, PRResult  # noqa: F401
 from .pagerank import pagerank  # noqa: F401
 from .labelprop import label_propagation  # noqa: F401
 from .triangles import triangle_count, triangles_per_graph  # noqa: F401

@@ -1,4 +1,5 @@
-"""One public connected-components entry point with mode auto-selection.
+"""Public one-call entry points with execution-mode auto-selection:
+``cc()`` for connected components and ``pagerank_auto()`` for PageRank.
 
 Three CC execution modes exist with identical semantics (min-vid-per-
 component labels, cross-mode checksum-tested) but different scaling
@@ -38,8 +39,9 @@ from pyspark.sql import functions as F
 
 from ..plans.checkpoint import CheckpointStore
 from .cc import connected_components
-from .csr import connected_components_csr
+from .csr import connected_components_csr, pagerank_csr
 from .frontier import connected_components_frontier
+from .pagerank import pagerank as pagerank_df
 
 DEFAULT_CSR_MAX_VERTICES = 2_000_000
 
@@ -100,3 +102,59 @@ def cc(
             edges, vertices=vertices, checkpoint=checkpoint, salt_buckets=salt_buckets
         )
     return CCResult(labels, metrics, chosen)
+
+
+class PRResult(NamedTuple):
+    ranks: DataFrame   # (vid long, rank double), sums to 1.0
+    metrics: list      # per-iteration metrics from the underlying mode
+    mode: str          # "df" | "csr" — what actually ran
+
+
+def pagerank_auto(
+    edges: DataFrame,
+    vertices: Optional[DataFrame] = None,
+    mode: str = "auto",
+    alpha: float = 0.85,
+    tol: float = 1e-8,
+    max_iter: int = 100,
+    checkpoint: Optional[CheckpointStore] = None,
+    csr_max_vertices: int = DEFAULT_CSR_MAX_VERTICES,
+    salt_buckets: int = 0,
+) -> PRResult:
+    """PageRank with the same execution-mode auto-selection as ``cc()``.
+
+    The two modes agree to allclose 1e-6 per vertex (not bit-identical —
+    float summation order differs; tested in tests/test_csr.py). ``csr``
+    replicates the rank vector per iteration (fast while n fits node
+    memory, not resumable); ``df`` is the distributed scale mode with
+    checkpoint/resume and optional contribution salting. Auto picks csr
+    iff vertex count <= ``csr_max_vertices`` and no checkpoint was given.
+    """
+    if mode not in ("auto", "df", "csr"):
+        raise ValueError(f"unknown pagerank mode {mode!r}: use auto|df|csr")
+    chosen = mode
+    if mode == "auto":
+        if vertices is None:
+            vertices = (
+                edges.select(F.col("src").alias("vid"))
+                .union(edges.select(F.col("dst").alias("vid")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        n = vertices.count()
+        chosen = "csr" if (n <= csr_max_vertices and checkpoint is None) else "df"
+    if chosen == "csr":
+        if checkpoint is not None:
+            raise ValueError(
+                "csr mode keeps no distributed state to checkpoint — use "
+                "mode='df' for resumable runs"
+            )
+        ranks, metrics = pagerank_csr(
+            edges, vertices=vertices, alpha=alpha, tol=tol, max_iter=max_iter
+        )
+    else:
+        ranks, metrics = pagerank_df(
+            edges, vertices=vertices, alpha=alpha, tol=tol, max_iter=max_iter,
+            checkpoint=checkpoint, salt_buckets=salt_buckets,
+        )
+    return PRResult(ranks, metrics, chosen)

@@ -144,3 +144,31 @@ def test_labelprop_frontier_matches_full(spark):
     assert a == b
     # per-iteration changed counts identical => identical trajectories
     assert [m["changed"] for m in m_full] == [m["changed"] for m in m_fast]
+
+
+def test_pagerank_facade_routes_and_agrees(spark, tmp_path):
+    from pds_hw2_mpi_connected_components_spark.operators import pagerank_auto
+    from pds_hw2_mpi_connected_components_spark.plans.checkpoint import CheckpointStore
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)]
+    edges = spark.createDataFrame(pairs, "src long, dst long").localCheckpoint(eager=True)
+
+    r_auto = pagerank_auto(edges, tol=1e-10, max_iter=60)
+    assert r_auto.mode == "csr"  # small vertex set -> replicated-vector mode
+    r_df = pagerank_auto(edges, csr_max_vertices=0, tol=1e-10, max_iter=60)
+    assert r_df.mode == "df"
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    r_ck = pagerank_auto(edges, checkpoint=store, tol=1e-10, max_iter=60)
+    assert r_ck.mode == "df"  # a checkpoint store forces the resumable mode
+
+    base = {r["vid"]: r["rank"] for r in r_auto.ranks.collect()}
+    for res in (r_df, r_ck):
+        got = {r["vid"]: r["rank"] for r in res.ranks.collect()}
+        assert got.keys() == base.keys()
+        assert all(abs(got[v] - base[v]) < 1e-6 for v in base), res.mode
+    assert abs(sum(base.values()) - 1.0) < 1e-9
+
+    with pytest.raises(ValueError, match="checkpoint"):
+        pagerank_auto(edges, mode="csr", checkpoint=store)
+    with pytest.raises(ValueError, match="unknown pagerank mode"):
+        pagerank_auto(edges, mode="mpi")
