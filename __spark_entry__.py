@@ -740,9 +740,18 @@ def oracle_sql() -> dict[str, str]:
                        string_agg(CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR), ','
                                   ORDER BY CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR)) AS bkey
                 FROM sig GROUP BY 1, 2
+            ),
+            -- hot-bucket guard parity: drop band buckets > max_bucket
+            -- (operators/dedup.cap_hot_buckets default 10000)
+            kept AS (
+                SELECT id, band, bkey FROM (
+                    SELECT id, band, bkey,
+                           count(*) OVER (PARTITION BY band, bkey) AS bsz
+                    FROM bands
+                ) z WHERE bsz <= 10000
             )
             SELECT DISTINCT x.id AS a, y.id AS b
-            FROM bands x JOIN bands y
+            FROM kept x JOIN kept y
               ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
         """,
         "simhash16": f"""
@@ -825,10 +834,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, sim_r, rank FROM r WHERE rank <= 10
         """,
         "embedding_near_dups": f"""
-            WITH {_lsh_bucket_sql()}
+            WITH {_lsh_bucket_sql()},
+            -- hot-bucket guard parity (cap_hot_buckets default 10000)
+            kept AS (
+                SELECT id, e, bucket FROM (
+                    SELECT id, e, bucket,
+                           count(*) OVER (PARTITION BY bucket) AS bsz
+                    FROM based
+                ) z WHERE bsz <= 10000
+            )
             SELECT x.id AS a, y.id AS b,
                    round(list_cosine_similarity(x.e, y.e), 4) AS sim_r
-            FROM based x JOIN based y ON x.bucket = y.bucket AND x.id < y.id
+            FROM kept x JOIN kept y ON x.bucket = y.bucket AND x.id < y.id
             WHERE round(list_cosine_similarity(x.e, y.e), 4) >= 0.3
         """,
         "tpch_q1": """

@@ -18,6 +18,8 @@ so every operator here is verifiable against a DuckDB SQL oracle.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -82,6 +84,7 @@ def jaccard_pairs(
     text_col: str = "text",
     max_df: int | None = 10_000,
     ngram: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard over pairs sharing a blocking key.
     ``ngram`` > 1 computes Jaccard over word n-gram shingles instead of
@@ -99,10 +102,34 @@ def jaccard_pairs(
     cutoff, any token's join fan-out is bounded by max_df^2. Costs one extra
     cheap aggregation (the document-frequency count). Bounded BY DEFAULT
     (10k docs per token); pass ``max_df=None`` to opt out explicitly — the
-    unbounded join is only safe on corpora known to have no hot tokens."""
+    unbounded join is only safe on corpora known to have no hot tokens.
+
+    ``stats``: optional dict. When given, the document-frequency counts are
+    aggregated EAGERLY (one extra small job) and
+    ``stats["dropped_tokens"]`` / ``stats["max_token_df"]`` are filled; a
+    RuntimeWarning is emitted if the cutoff actually dropped tokens, so
+    exact-semantics callers notice they need ``max_df=None``. Default None
+    keeps the operator fully lazy (the cutoff applies silently in-plan)."""
     toks = tokens(df, id_col, text_col) if ngram <= 1 else shingles(df, ngram, id_col, text_col)
     if max_df is not None:
         dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+        if stats is not None:
+            row = dfreq.agg(
+                F.coalesce(F.sum((F.col("df") > max_df).cast("long")), F.lit(0)).alias("dropped"),
+                F.coalesce(F.max("df"), F.lit(0)).alias("mx"),
+            ).collect()[0]
+            stats["dropped_tokens"] = int(row["dropped"])
+            stats["max_token_df"] = int(row["mx"])
+            if stats["dropped_tokens"]:
+                warnings.warn(
+                    f"jaccard_pairs: max_df={max_df} dropped "
+                    f"{stats['dropped_tokens']} hot tokens (max df "
+                    f"{stats['max_token_df']}); pairs sharing only those "
+                    "tokens are not reported. Pass max_df=None for exact "
+                    "semantics (unbounded join).",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         toks = toks.join(dfreq.where(F.col("df") <= max_df).select("tok"), "tok")
     blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
     t = toks.join(blocks, "id")
@@ -147,12 +174,64 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return wide.select("id", F.expr(f"stack({k}, {stack}) AS (i, mh)"))
 
 
+def cap_hot_buckets(
+    rows: DataFrame,
+    bucket_cols: list[str],
+    max_bucket: int | None,
+    stats: dict | None = None,
+    what: str = "lsh",
+) -> DataFrame:
+    """The ``max_df`` pattern applied to LSH buckets: drop (id, bucket) rows
+    whose bucket holds more than ``max_bucket`` members BEFORE the
+    within-bucket self-join, bounding that join's output by max_bucket^2 per
+    bucket. Degenerate buckets (boilerplate / near-empty docs collapsing to
+    one signature) are exactly the low-information collisions near-dup
+    pipelines drop anyway. One extra cheap aggregation, fully in-plan.
+
+    ``stats``: optional dict -> EAGER bucket-size aggregation (one small
+    job) filling ``stats["dropped_buckets"]`` / ``stats["max_bucket_size"]``
+    and warning when buckets were actually dropped. Default None stays lazy.
+    """
+    if max_bucket is None:
+        return rows
+    sizes = rows.groupBy(*bucket_cols).agg(F.count("*").alias("bsz"))
+    if stats is not None:
+        row = sizes.agg(
+            F.coalesce(F.sum((F.col("bsz") > max_bucket).cast("long")), F.lit(0)).alias("dropped"),
+            F.coalesce(F.max("bsz"), F.lit(0)).alias("mx"),
+        ).collect()[0]
+        stats["dropped_buckets"] = int(row["dropped"])
+        stats["max_bucket_size"] = int(row["mx"])
+        if stats["dropped_buckets"]:
+            warnings.warn(
+                f"{what}: max_bucket={max_bucket} dropped "
+                f"{stats['dropped_buckets']} oversized buckets (largest held "
+                f"{stats['max_bucket_size']} docs); pairs colliding only in "
+                "those buckets are not reported. Pass max_bucket=None for "
+                "unguarded (quadratic) semantics.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+    keep = sizes.where(F.col("bsz") <= max_bucket).select(*bucket_cols)
+    return rows.join(keep, bucket_cols)
+
+
 def minhash_lsh_candidates(
-    df: DataFrame, rows_per_band: int = 2, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = 10_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(a, b) candidate near-duplicate pairs: docs sharing at least one LSH
     band (band = concatenated minhashes of `rows_per_band` consecutive hash
-    functions). Never materializes the O(n^2) pair space."""
+    functions). Never materializes the O(n^2) pair space.
+
+    ``max_bucket`` (default 10k, ``None`` to opt out) drops band buckets
+    larger than the cap before the self-join — see :func:`cap_hot_buckets`.
+    Without it a degenerate band (all near-empty docs sharing one
+    signature) makes one bucket quadratic at web scale."""
     sig = minhash_signatures(df, id_col, text_col)
     bands = (
         sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
@@ -160,6 +239,8 @@ def minhash_lsh_candidates(
         .agg(F.concat_ws(",", F.sort_array(F.collect_list(
             F.format_string("%d:%d", F.col("i"), F.col("mh"))))).alias("bkey"))
     )
+    bands = cap_hot_buckets(bands, ["band", "bkey"], max_bucket, stats,
+                            "minhash_lsh_candidates")
     return (
         bands.alias("x").join(bands.alias("y"),
                               (F.col("x.band") == F.col("y.band"))

@@ -198,10 +198,20 @@ def ann_topk_ivf(
 def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.95, n_planes: int = 12, seed: int = 7,
     id_col: str = "vec_id",
+    max_bucket: int | None = 10_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(a, b, sim_r) pairs with cosine >= threshold, candidate-limited to
-    LSH bucket collisions (near-identical vectors collide with high prob)."""
+    LSH bucket collisions (near-identical vectors collide with high prob).
+
+    ``max_bucket`` (default 10k, ``None`` to opt out) drops LSH buckets
+    larger than the cap before the within-bucket self-join — the skew guard
+    for degenerate corpora (e.g. many zero/constant vectors collapsing into
+    one bucket); see :func:`..operators.dedup.cap_hot_buckets`."""
+    from .dedup import cap_hot_buckets
+
     sig = lsh_signatures(emb, n_planes, seed, id_col)
+    sig = cap_hot_buckets(sig, ["bucket"], max_bucket, stats, "embedding_near_dups")
     base = emb.select(F.col(id_col).alias("id"), "embedding").join(sig, "id")
     x = base.select(F.col("id").alias("a"), F.col("embedding").alias("ea"), "bucket")
     y = base.select(F.col("id").alias("b"), F.col("embedding").alias("eb"), "bucket")

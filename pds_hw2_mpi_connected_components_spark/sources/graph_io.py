@@ -42,6 +42,8 @@ import io
 import os
 import shutil
 import struct
+import uuid
+import warnings
 from typing import Iterator, Optional
 
 import numpy as np
@@ -164,11 +166,14 @@ def _parse_window(data: bytes, names: list[str], path: str) -> Optional[pd.DataF
     if not data.strip():
         return None
     try:
+        # No `names` here: with explicit names shorter than the data, pandas
+        # silently promotes the first column to the index, shifting every
+        # field (entry "1 2 5" parsed as edge (2,5)). Parse positionally,
+        # then enforce the exact field count loudly.
         pdf = pd.read_csv(
             io.BytesIO(data),
             sep=r"\s+",
             header=None,
-            names=names,
             comment="%",
             skip_blank_lines=True,
             dtype=str,
@@ -177,6 +182,12 @@ def _parse_window(data: bytes, names: list[str], path: str) -> Optional[pd.DataF
         return None
     except Exception as exc:
         raise GraphFormatError(f"unparseable entries in {path}: {exc}") from None
+    if pdf.shape[1] != len(names):
+        raise GraphFormatError(
+            f"entries have {pdf.shape[1]} fields, expected {len(names)} "
+            f"({'/'.join(names)}) in {path}"
+        )
+    pdf.columns = names
     return pdf
 
 
@@ -350,6 +361,35 @@ def read_mtx(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
 # distributed chunked export
 # ---------------------------------------------------------------------------
 
+def _tmp_name(bucket: int) -> str:
+    """Unique temp part-file name. A uuid (not just the pid) keeps concurrent
+    attempts of the same bucket — speculative execution, task retry on
+    another host with a colliding pid — from interleaving writes to one tmp
+    file on a shared filesystem before os.replace."""
+    return f".tmp-{bucket:06d}-{uuid.uuid4().hex}"
+
+
+# Above this many entries in one bucket, warn that the per-task sort and the
+# driver's streamed concat are getting heavy and num_buckets should be raised
+# (each bucket is sorted in one task's memory: ~16 bytes/entry in the numpy
+# working set, so 64M entries ~= 1 GiB per task).
+_BUCKET_WARN_ENTRIES = 64_000_000
+
+
+def _warn_bucket_sizes(res: list, what: str) -> None:
+    biggest = max((int(r["n"]) for r in res), default=0)
+    if biggest > _BUCKET_WARN_ENTRIES:
+        warnings.warn(
+            f"{what}: largest bucket holds {biggest} entries "
+            f"(> {_BUCKET_WARN_ENTRIES}); raise num_buckets so each bucket's "
+            "in-task sort fits executor memory. The final assembly is a "
+            "single driver-side streamed concat — for >10^9-edge exports "
+            "prefer more, smaller buckets (num_buckets ~ edges/10M).",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def _bucket_blocks(total: int, n_buckets: int) -> tuple[int, int, int]:
     """The reference's contiguous block partition (matrix.c:126-133):
     (per, rem, threshold) with the first `rem` buckets one wider."""
@@ -403,7 +443,14 @@ def write_mtx(edges: DataFrame, n: int, path: str, num_buckets: Optional[int] = 
         bk = int(key[0])
         pdf = pdf.sort_values(["a", "b"])
         out = pdf[["a", "b"]].astype(np.int64) + 1
-        tmp = os.path.join(parts_dir, f".tmp-{bk:06d}-{os.getpid()}")
+        # same contract as write_bin_csc: ids outside [0, n) must fail
+        # loudly here, not surface later as a bounds error on re-read
+        # (F.least above would otherwise clamp a >= n into the last bucket).
+        a = pdf["a"].to_numpy(dtype=np.int64)
+        b = pdf["b"].to_numpy(dtype=np.int64)
+        if len(a) and (a.max() >= n or b.min() < 0):
+            raise GraphFormatError("edge endpoint out of bounds for declared n")
+        tmp = os.path.join(parts_dir, _tmp_name(bk))
         out.to_csv(tmp, sep=" ", header=False, index=False)
         os.replace(tmp, os.path.join(parts_dir, f"part-{bk:06d}"))
         return pd.DataFrame({"bucket": [bk], "n": [len(pdf)]})
@@ -414,6 +461,7 @@ def write_mtx(edges: DataFrame, n: int, path: str, num_buckets: Optional[int] = 
         .applyInPandas(write_bucket, "bucket long, n long")
     )
     total = sum(r["n"] for r in res)
+    _warn_bucket_sizes(res, "write_mtx")
     try:
         with open(path, "wb") as f:
             f.write(b"%%MatrixMarket matrix coordinate pattern symmetric\n")
@@ -477,7 +525,7 @@ def write_bin_csc(
         order = np.lexsort((row, col))
         col, row = col[order], row[order]
         counts = np.bincount(col - start, minlength=end - start).astype("<u4")
-        tmp = os.path.join(parts_dir, f".tmp-{bk:06d}-{os.getpid()}")
+        tmp = os.path.join(parts_dir, _tmp_name(bk))
         with open(tmp, "wb") as f:
             counts.tofile(f)
         os.replace(tmp, os.path.join(parts_dir, f"cnt-{bk:06d}"))
@@ -493,6 +541,7 @@ def write_bin_csc(
         .applyInPandas(write_bucket, "bucket long, n long")
     )
     nnz = sum(r["n"] for r in res)
+    _warn_bucket_sizes(res, "write_bin_csc")
     if nnz > np.iinfo(np.uint32).max:
         shutil.rmtree(parts_dir, ignore_errors=True)
         raise GraphFormatError("nnz exceeds uint32 col_ptr capacity (format limit)")

@@ -52,3 +52,57 @@ def test_ngram_vs_token_jaccard_sharper(spark, docs):
     ng = {(r["a"], r["b"]): r["jac_r"] for r in jaccard_pairs(docs, threshold=0.0, ngram=2).collect()}
     # shingles penalize the single-word substitution more than token sets do
     assert ng[(0, 1)] < tok[(0, 1)]
+
+
+def test_lsh_hot_bucket_guard(spark):
+    """Degenerate corpus: every doc has the same single-token text, so all
+    docs collapse into one band bucket. The default max_bucket guard must
+    drop that bucket (zero candidate pairs, no quadratic join); opting out
+    must restore the full pair set; stats must report the drop."""
+    import warnings as w
+
+    from pds_hw2_mpi_connected_components_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    n = 40
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("boilerplate").alias("text")
+    )
+    stats = {}
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        capped = minhash_lsh_candidates(docs, max_bucket=10, stats=stats)
+        assert capped.count() == 0
+    assert stats["dropped_buckets"] > 0 and stats["max_bucket_size"] == n
+    assert any("oversized buckets" in str(c.message) for c in caught)
+    # opt-out: the full quadratic pair set comes back
+    full = minhash_lsh_candidates(docs, max_bucket=None)
+    assert full.count() == n * (n - 1) // 2
+    # non-degenerate data below the cap is untouched by the default guard
+    varied = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique text number "), F.col("id")).alias("text"),
+    )
+    a = {tuple(r) for r in minhash_lsh_candidates(varied).collect()}
+    b = {tuple(r) for r in minhash_lsh_candidates(varied, max_bucket=None).collect()}
+    assert a == b
+
+
+def test_jaccard_max_df_stats_warns(spark, docs):
+    import warnings as w
+
+    stats = {}
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        out = jaccard_pairs(docs, threshold=0.2, max_df=1, stats=stats)
+        assert out.count() == 0  # every shared token is dropped at df<=1
+    assert stats["dropped_tokens"] > 0 and stats["max_token_df"] >= 3
+    assert any("hot tokens" in str(c.message) for c in caught)
+    # no drops -> no warning
+    stats2 = {}
+    with w.catch_warnings(record=True) as caught2:
+        w.simplefilter("always")
+        jaccard_pairs(docs, threshold=0.2, max_df=10_000, stats=stats2).count()
+    assert stats2["dropped_tokens"] == 0
+    assert not [c for c in caught2 if "hot tokens" in str(c.message)]

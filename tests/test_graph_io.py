@@ -363,3 +363,45 @@ def test_write_bin_ignores_stale_parts(spark, tmp_path):
     edges2, header2 = read_bin_csc(spark, p)
     assert header2["nnz"] == 2
     assert _edge_set(edges2) == {(0, 1), (1, 0)}
+
+
+def test_mtx_pattern_rejects_trailing_value(spark, tmp_path):
+    # a pattern body whose rows carry an extra value token must refuse loudly:
+    # with explicit short `names` pandas promotes the first column to the
+    # index, silently parsing entry "1 2 5" as edge (2,5) instead of (1,2)
+    p = str(tmp_path / "trail.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern symmetric\n")
+        f.write("5 5 2\n1 2 5\n3 4 6\n")
+    with pytest.raises(GraphFormatError, match="fields"):
+        read_mtx(spark, p)
+
+
+def test_mtx_valued_rejects_missing_value(spark, tmp_path):
+    # a `real` body with only (i, j) per row is 2 fields where 3 are declared
+    p = str(tmp_path / "short.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real symmetric\n")
+        f.write("5 5 2\n2 1\n4 3\n")
+    with pytest.raises(GraphFormatError, match="fields"):
+        read_mtx(spark, p)
+
+
+def test_write_mtx_rejects_out_of_bounds(spark, tmp_path):
+    # ids outside [0, n) must fail at write time, not surface as a bounds
+    # error (or a silently clamped bucket) on re-read
+    bad = spark.createDataFrame([(0, 9)], "src long, dst long")  # 9 >= n=3
+    with pytest.raises(GraphFormatError, match="out of bounds"):
+        write_mtx(bad, 3, str(tmp_path / "oob_w.mtx"))
+
+
+def test_writers_warn_on_oversized_buckets(spark, tmp_path, monkeypatch):
+    import pds_hw2_mpi_connected_components_spark.sources.graph_io as gio
+
+    monkeypatch.setattr(gio, "_BUCKET_WARN_ENTRIES", 2)
+    edges = spark.createDataFrame(FIXTURE_PAIRS, "src long, dst long")
+    with pytest.warns(RuntimeWarning, match="num_buckets"):
+        write_mtx(edges, FIXTURE_N, str(tmp_path / "warn.mtx"), num_buckets=1)
+    with pytest.warns(RuntimeWarning, match="num_buckets"):
+        write_bin_csc(edges, FIXTURE_N, FIXTURE_N, str(tmp_path / "warn.bin"),
+                      num_buckets=1)

@@ -121,3 +121,25 @@ def test_ann_topk_ivf_recall_vs_exact(emb, spark):
         got[r["query_id"]].add(r["neighbor_id"])
     recall = sum(len(got[q] & exact[q]) for q in range(n_q)) / (k * n_q)
     assert recall >= 0.7, f"IVF recall@{k} = {recall}"
+
+
+def test_embedding_near_dups_hot_bucket_guard(spark):
+    """All-identical vectors collapse into one LSH bucket; the default
+    max_bucket cap must drop it instead of going quadratic, and opting out
+    must restore the full pair set."""
+    from pds_hw2_mpi_connected_components_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    n = 30
+    const = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0).cast("float") for _ in range(8)]).alias("embedding"),
+    )
+    stats = {}
+    capped = embedding_near_dups(const, threshold=0.5, n_planes=4,
+                                 max_bucket=5, stats=stats)
+    assert capped.count() == 0
+    assert stats["dropped_buckets"] == 1 and stats["max_bucket_size"] == n
+    full = embedding_near_dups(const, threshold=0.5, n_planes=4, max_bucket=None)
+    assert full.count() == n * (n - 1) // 2
