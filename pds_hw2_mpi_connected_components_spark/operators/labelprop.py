@@ -90,7 +90,17 @@ def label_propagation(
     to broadcast into the gather filter; a larger dirty set falls back to
     the full superstep (same results either way — the frontier path is an
     exact rewrite). Set ``frontier_threshold=-1`` to force full
-    supersteps."""
+    supersteps.
+
+    2-cycle detection: synchronous LP on bipartite-ish structures can
+    oscillate with period 2 forever (labels(t) == labels(t-2) while
+    changed > 0 — the documented limit behavior of sync LP). Each iteration
+    fingerprints the full label state (count + order-insensitive bit_xor of
+    xxhash64(vid, label) — O(1) driver-side, same machinery as
+    operators/cc._checksum); if the state equals the state two iterations
+    ago, the deterministic update rule must repeat forever, so the loop
+    stops early and the final metrics row carries ``converged="2-cycle"``.
+    The returned labels equal what a full run holds at that iteration."""
     n_part = int(sym_edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     if vertices is None:
         vertices = (
@@ -123,6 +133,7 @@ def label_propagation(
     changed_gate = min(frontier_threshold, max(1, int(n_vertices * frontier_fraction)))
     changed_df: Optional[DataFrame] = None  # None => assume everything changed
     changed = None
+    prev_state, prev2_state = None, None  # label-state fingerprints (t-1, t-2)
     for it in range(start_iter, max_iter):
         t0 = time.monotonic()
         mode, dirty_rows, gather_edges = "full", None, sym_edges
@@ -161,13 +172,32 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
         changed = changed_df.count()
+        # full-state fingerprint for the period-2 oscillation detector
+        # (new_labels is already materialized — this scans, not recomputes)
+        srow = new_labels.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("vid", "label")).alias("h")
+        ).collect()[0]
+        state = (srow["n"], srow["h"])
         m = {"iter": it, "changed": changed, "mode": mode, "sec": time.monotonic() - t0}
         if dirty_rows is not None:
             m["dirty"] = dirty_rows
-        metrics.append(m)
-        if checkpoint is not None:
-            checkpoint.log_metrics("labelprop", metrics[-1])
         labels = new_labels
         if changed == 0:
+            m["converged"] = True
+            metrics.append(m)
+            if checkpoint is not None:
+                checkpoint.log_metrics("labelprop", m)
             break
+        if state == prev2_state:
+            # labels(t) == labels(t-2) with changes still flowing: the
+            # deterministic synchronous rule repeats forever from here.
+            m["converged"] = "2-cycle"
+            metrics.append(m)
+            if checkpoint is not None:
+                checkpoint.log_metrics("labelprop", m)
+            break
+        metrics.append(m)
+        if checkpoint is not None:
+            checkpoint.log_metrics("labelprop", m)
+        prev2_state, prev_state = prev_state, state
     return labels, metrics

@@ -172,3 +172,40 @@ def test_pagerank_facade_routes_and_agrees(spark, tmp_path):
         pagerank_auto(edges, mode="csr", checkpoint=store)
     with pytest.raises(ValueError, match="unknown pagerank mode"):
         pagerank_auto(edges, mode="mpi")
+
+
+def test_labelprop_detects_2_cycle(spark):
+    """An isolated edge (0,1) swaps labels forever under synchronous LP; a
+    triangle alongside it converges. The state-fingerprint detector must stop
+    the loop as soon as labels(t) == labels(t-2), report converged="2-cycle",
+    and return exactly the labels a plain superstep chain holds at that
+    iteration."""
+    from pyspark.sql import functions as F
+
+    from pds_hw2_mpi_connected_components_spark.operators.labelprop import lp_superstep
+
+    pairs = [(0, 1), (2, 3), (3, 4), (2, 4)]
+    sym = symmetrize(make_edges(spark, pairs))
+    labels, metrics = label_propagation(sym, max_iter=20)
+    assert metrics[-1]["converged"] == "2-cycle"
+    stop_iter = metrics[-1]["iter"]
+    assert stop_iter < 19  # stopped well before max_iter
+    assert metrics[-1]["changed"] > 0
+    # replay plain supersteps to the stopping iteration: labels must match
+    cur = sym.select(F.col("src").alias("vid")).union(
+        sym.select(F.col("dst").alias("vid"))
+    ).distinct().select("vid", F.col("vid").alias("label"))
+    for _ in range(stop_iter + 1):
+        cur = lp_superstep(sym, cur).localCheckpoint(eager=True)
+    want = {r["vid"]: r["label"] for r in cur.collect()}
+    got = {r["vid"]: r["label"] for r in labels.collect()}
+    assert got == want
+
+
+def test_labelprop_converged_flag_on_stable_graph(spark):
+    # a graph that actually converges must carry converged=True, not 2-cycle
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    sym = symmetrize(make_edges(spark, pairs))
+    _, metrics = label_propagation(sym, max_iter=10)
+    assert metrics[-1]["converged"] is True
+    assert metrics[-1]["changed"] == 0
