@@ -45,6 +45,7 @@ from pds_hw2_mpi_connected_components_spark.operators.csr import (  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.operators.dedup import (  # noqa: E402
     exact_duplicates,
     jaccard_pairs,
+    minhash_lsh_candidates,
     minhash_signatures,
 )
 from pds_hw2_mpi_connected_components_spark.operators.degrees import degree_table  # noqa: E402
@@ -147,12 +148,58 @@ def run_suite(spark, sf_dir: str, cpus: int, timed) -> dict:
     ).localCheckpoint(eager=True)
     timed("jaccard_hot20k", lambda: jaccard_pairs(hot, threshold=0.3).count())
 
+    # -- skew guard #2: LSH hot bucket. 20k near-identical docs collapse
+    # into ONE band bucket; the within-bucket self-join would be ~2e8 pairs
+    # (minutes-to-hang). Default max_bucket drops the degenerate bucket, so
+    # this leg completes in seconds with DEFAULT args — the bucket-guard
+    # analog of jaccard_hot20k.
+    degen = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"), F.lit("boilerplate stub page").alias("text")
+    ).localCheckpoint(eager=True)
+    timed("lsh_hot20k", lambda: minhash_lsh_candidates(degen).count())
+
     # -- relational legs ---------------------------------------------------
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     timed("tpch_q1", lambda: li.groupBy("l_returnflag", "l_linestatus")
           .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*")).collect())
 
     return {"cc_sym_edges": n_edges_sym, "cc_rounds": len(cc_metrics)}
+
+
+def regression_gate(queries: dict, stddev: dict, sf: str, cpus: int) -> dict:
+    """Cross-round regression adjudication (benchmark.c:275-284's trial
+    consistency made round-over-round): compare each leg's median to the
+    newest BENCH_r*.json recorded by the driver in the repo root. A leg
+    regresses only if it is BOTH >25% slower AND outside 3x the larger of
+    the two runs' stddevs (floored at 0.05s) — the double condition is the
+    shared-host noise band established in round 3. Skips silently when no
+    prior artifact exists or its sf/cpus differ (not comparable)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not files:
+        return {"baseline_bench": None, "regressions": []}
+    name = os.path.basename(files[-1])
+    try:
+        with open(files[-1]) as f:
+            raw = json.load(f)
+        prev = raw.get("parsed", raw)  # driver wraps the JSON line in "parsed"
+        if str(prev.get("sf")) != str(sf) or int(prev.get("cpus", -1)) != cpus:
+            return {"baseline_bench": name, "regressions": [],
+                    "baseline_comparable": False}
+        pq, ps = prev.get("queries", {}), prev.get("stddev", {})
+    except (OSError, ValueError, KeyError):
+        return {"baseline_bench": name, "regressions": []}
+    regs = []
+    for k, cur in queries.items():
+        if k not in pq:
+            continue
+        band = 3 * max(ps.get(k, 0.0), stddev.get(k, 0.0), 0.05)
+        if cur > pq[k] * 1.25 and cur - pq[k] > band:
+            regs.append({"query": k, "prev": pq[k], "cur": cur,
+                         "band": round(band, 3)})
+    return {"baseline_bench": name, "regressions": regs}
 
 
 def main() -> None:
@@ -196,6 +243,7 @@ def main() -> None:
         "cc_edges_per_sec": round(stats["cc_sym_edges"] / queries["pipeline_cc"], 1),
         "cc_rounds": stats["cc_rounds"],
         "cc_sym_edges": stats["cc_sym_edges"],
+        **regression_gate(queries, stddev, sf, cpus),
         **probe,
     }))
     spark.stop()

@@ -45,6 +45,11 @@ from .pagerank import pagerank as pagerank_df
 
 DEFAULT_CSR_MAX_VERTICES = 2_000_000
 
+# df-mode CC converging within this many star-contraction rounds marks the
+# graph "frontier_eligible" in its final metrics row (small effective
+# diameter => the O(diameter)-round frontier mode is worth trying next run)
+FRONTIER_ELIGIBLE_MAX_ROUNDS = 5
+
 
 class CCResult(NamedTuple):
     labels: DataFrame  # (vid long, label long), label = min vid of component
@@ -101,6 +106,15 @@ def cc(
         labels, metrics = connected_components(
             edges, vertices=vertices, checkpoint=checkpoint, salt_buckets=salt_buckets
         )
+        if metrics:
+            # post-hoc shape hint (evidence only, no behavior change): star
+            # contraction converging in few rounds implies a small effective
+            # diameter, which is exactly when the O(diameter)-round frontier
+            # mode is competitive — record it so operators learn the graph
+            # shape for next runs without paying a probe.
+            metrics[-1]["frontier_eligible"] = (
+                len(metrics) <= FRONTIER_ELIGIBLE_MAX_ROUNDS
+            )
     return CCResult(labels, metrics, chosen)
 
 

@@ -116,3 +116,9 @@ def test_cc_facade_routes_and_agrees(spark, tmp_path):
         cc(edges, mode="csr", checkpoint=store)
     with pytest.raises(ValueError, match="unknown cc mode"):
         cc(edges, mode="mpi")
+
+    # df-mode records the post-hoc frontier-eligibility shape hint (this
+    # tiny graph converges in <= FRONTIER_ELIGIBLE_MAX_ROUNDS rounds)
+    assert r_df.metrics[-1]["frontier_eligible"] is True
+    # non-df modes don't carry the hint
+    assert "frontier_eligible" not in r_fr.metrics[-1]
