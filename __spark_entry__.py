@@ -41,6 +41,7 @@ from pds_hw2_mpi_connected_components_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_candidates,
     minhash_signatures,
+    near_dup_clusters,
     simhash,
 )
 from pds_hw2_mpi_connected_components_spark.operators.degrees import degree_table
@@ -298,6 +299,13 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(_docs(spark, sf_dir), rows_per_band=2)
 
 
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite dedup pipeline: LSH candidates -> exact-Jaccard verify ->
+    connected components over the verified pair graph (operators/dedup.
+    near_dup_clusters) — transitively-closed near-dup cluster per doc."""
+    return near_dup_clusters(_docs(spark, sf_dir), threshold=0.8)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), bits=16)
 
@@ -532,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "minhash_signatures": _q_minhash_sig,
         "minhash_lsh_candidates": _q_minhash_lsh,
+        "near_dup_clusters": _q_near_dup_clusters,
         "simhash16": _q_simhash,
         "text_stats": _q_text_stats,
         "ann_topk": _q_ann_topk,
@@ -753,6 +762,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT x.id AS a, y.id AS b
             FROM kept x JOIN kept y
               ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
+        """,
+        # composite dedup pipeline: the same LSH-candidate CTEs as
+        # minhash_lsh_candidates, exact-Jaccard verification on candidate
+        # pairs only, then the recursive min-walk (same closure as the cc_*
+        # oracles) over the verified pair graph
+        "near_dup_clusters": f"""
+            WITH RECURSIVE sig AS MATERIALIZED ({_MINHASH_SIG_SQL}),
+            bands AS MATERIALIZED (
+                SELECT id, CAST(i // 2 AS INTEGER) AS band,
+                       string_agg(CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR), ','
+                                  ORDER BY CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR)) AS bkey
+                FROM sig GROUP BY 1, 2
+            ),
+            kept AS MATERIALIZED (
+                SELECT id, band, bkey FROM (
+                    SELECT id, band, bkey,
+                           count(*) OVER (PARTITION BY band, bkey) AS bsz
+                    FROM bands
+                ) z WHERE bsz <= 10000
+            ),
+            cands AS MATERIALIZED (
+                SELECT DISTINCT x.id AS a, y.id AS b
+                FROM kept x JOIN kept y
+                  ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
+            ),
+            toks AS MATERIALIZED ({_TOKS_SQL}),
+            sizes AS MATERIALIZED (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+            pinter AS MATERIALIZED (
+                SELECT c.a, c.b, count(*) AS inter
+                FROM cands c
+                JOIN toks ta ON ta.id = c.a
+                JOIN toks tb ON tb.id = c.b AND tb.tok = ta.tok
+                GROUP BY 1, 2
+            ),
+            verified AS MATERIALIZED (
+                SELECT p.a AS src, p.b AS dst
+                FROM pinter p
+                JOIN sizes sa ON p.a = sa.id JOIN sizes sb ON p.b = sb.id
+                WHERE round(CAST(p.inter AS DOUBLE)
+                            / CAST(sa.sz + sb.sz - p.inter AS DOUBLE), 4) >= 0.8
+            ),
+            sym AS MATERIALIZED (
+                SELECT src, dst FROM verified UNION SELECT dst, src FROM verified
+            ),
+            walk(v, m) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.dst, w.m FROM walk w JOIN sym s ON s.src = w.v
+            )
+            SELECT v AS id, min(m) AS cluster FROM walk GROUP BY v
         """,
         "simhash16": f"""
             WITH th AS ({_TOKH_SQL}),

@@ -251,6 +251,60 @@ def minhash_lsh_candidates(
     )
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.8,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering — the composite pipeline a
+    training-data dedup pass actually runs, every stage scale-bounded:
+
+    1. candidates: MinHash-LSH band collisions (never the O(n^2) pair
+       space; hot buckets capped by ``max_bucket``),
+    2. verify: exact token-set Jaccard computed ONLY on candidate pairs
+       (round(jac,4) >= threshold keeps a pair),
+    3. cluster: connected components over the verified pair graph (the
+       engine's own star-contraction operator — transitive closure of
+       near-duplicate-ness), cluster id = min doc id of the cluster,
+    4. every document appears exactly once; docs with no verified partner
+       form singleton clusters (cluster = own id).
+
+    Returns (id, cluster). The shuffle profile is the sum of its parts:
+    LSH candidates O(docs x bands), the verify join O(candidate-pair token
+    mass), CC O(verified edges) per round — no stage is quadratic in the
+    corpus under the default caps."""
+    from .cc import connected_components
+
+    cands = minhash_lsh_candidates(
+        df, rows_per_band, id_col, text_col, max_bucket
+    ).localCheckpoint(eager=True)
+    toks = tokens(df, id_col, text_col)
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    ta = toks.select(F.col("id").alias("a"), "tok")
+    tb = toks.select(F.col("id").alias("b"), "tok")
+    inter = (
+        cands.join(ta, "a").join(tb, ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    verified = (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sa"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sb"), "b")
+        .where(
+            F.round(F.col("inter").cast("double")
+                    / (F.col("sa") + F.col("sb") - F.col("inter")).cast("double"), 4)
+            >= threshold
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    all_ids = df.select(F.col(id_col).alias("vid")).distinct()
+    labels, _ = connected_components(verified, vertices=all_ids)
+    return labels.select(F.col("vid").alias("id"), F.col("label").alias("cluster"))
+
+
 def simhash(df: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash): sign-sum fingerprint over the low `bits` bits of the
     portable token hash. Near-dups have small Hamming distance."""

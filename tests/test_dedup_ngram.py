@@ -106,3 +106,26 @@ def test_jaccard_max_df_stats_warns(spark, docs):
         jaccard_pairs(docs, threshold=0.2, max_df=10_000, stats=stats2).count()
     assert stats2["dropped_tokens"] == 0
     assert not [c for c in caught2 if "hot tokens" in str(c.message)]
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A near-dup chain a~b~c must land in ONE cluster (transitive closure
+    via CC) even if a and c are not direct candidates; unrelated docs stay
+    singletons."""
+    from pds_hw2_mpi_connected_components_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs_rows = [
+        (0, base),
+        (1, base + " lambda"),          # near-dup of 0
+        (2, base + " lambda mu"),       # near-dup of 1 (and transitively 0)
+        (3, "совершенно unrelated text having nothing shared with others"),
+        (4, "another fully distinct document body with its own words"),
+    ]
+    df = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    got = {r["id"]: r["cluster"] for r in near_dup_clusters(df, threshold=0.7).collect()}
+    assert len(got) == 5  # every doc appears exactly once
+    assert got[0] == got[1] == got[2] == 0  # one transitive cluster, min id
+    assert got[3] == 3 and got[4] == 4      # singletons keep their own id
