@@ -39,6 +39,7 @@ Scale design (round 3):
 from __future__ import annotations
 
 import io
+import json
 import os
 import shutil
 import struct
@@ -410,7 +411,10 @@ def _collect_or_raise(df: DataFrame) -> list:
         raise
 
 
-def write_mtx(edges: DataFrame, n: int, path: str, num_buckets: Optional[int] = None) -> int:
+def write_mtx(
+    edges: DataFrame, n: int, path: str, num_buckets: Optional[int] = None,
+    sharded: bool = False,
+) -> int:
     """Symmetric coordinate/pattern .mtx from an (src,dst) edge table:
     stores the lower triangle only (a >= b), 1-based, globally sorted —
     the storage contract the reference converter expands from.
@@ -419,7 +423,15 @@ def write_mtx(edges: DataFrame, n: int, path: str, num_buckets: Optional[int] = 
     range-bucketed by `a`, each bucket task sorts and writes one text part
     file next to ``path``, and the driver streams header + parts into the
     final file — O(one bucket) memory everywhere, no full collect. Returns
-    the stored entry count."""
+    the stored entry count.
+
+    ``sharded=True`` stops after the distributed part-file write: the parts
+    stay in ``<path>.parts/`` and a ``<path>.manifest.json`` records header
+    + ordered bucket list, so the single-writer concat (the only
+    non-distributed step) is deferred — call :func:`assemble_mtx` later, on
+    any host that sees the shared filesystem, or let a consumer stream the
+    parts directly. This is the >10^9-edge export path: the write itself
+    then has NO single-writer wall time."""
     path = os.path.abspath(path)
     spark = edges.sparkSession
     if num_buckets is None:
@@ -462,6 +474,15 @@ def write_mtx(edges: DataFrame, n: int, path: str, num_buckets: Optional[int] = 
     )
     total = sum(r["n"] for r in res)
     _warn_bucket_sizes(res, "write_mtx")
+    if sharded:
+        _write_manifest(path, {
+            "format": "mtx-sharded", "n": n, "entries": total,
+            "buckets": sorted(
+                [{"bucket": int(r["bucket"]), "n": int(r["n"])} for r in res],
+                key=lambda b: b["bucket"],
+            ),
+        })
+        return total
     try:
         with open(path, "wb") as f:
             f.write(b"%%MatrixMarket matrix coordinate pattern symmetric\n")
@@ -475,12 +496,44 @@ def write_mtx(edges: DataFrame, n: int, path: str, num_buckets: Optional[int] = 
     return total
 
 
+def _write_manifest(path: str, manifest: dict) -> None:
+    tmp = f"{path}.manifest.json.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, f"{path}.manifest.json")
+
+
+def assemble_mtx(path: str, keep_parts: bool = False) -> int:
+    """Finish a ``write_mtx(..., sharded=True)`` export: stream header +
+    ordered part files into the final ``path``. Pure file IO — no Spark —
+    so it can run on any host sharing the filesystem, decoupled from the
+    cluster job. Returns the entry count; removes parts + manifest unless
+    ``keep_parts``."""
+    with open(f"{path}.manifest.json") as f:
+        man = json.load(f)
+    if man.get("format") != "mtx-sharded":
+        raise GraphFormatError(f"{path}.manifest.json is not an mtx-sharded manifest")
+    parts_dir = path + ".parts"
+    with open(path, "wb") as f:
+        f.write(b"%%MatrixMarket matrix coordinate pattern symmetric\n")
+        f.write(f"% written by {__name__}\n".encode("ascii"))
+        f.write(f"{man['n']} {man['n']} {man['entries']}\n".encode("ascii"))
+        for b in man["buckets"]:
+            with open(os.path.join(parts_dir, f"part-{b['bucket']:06d}"), "rb") as part:
+                shutil.copyfileobj(part, f, 16 << 20)
+    if not keep_parts:
+        shutil.rmtree(parts_dir, ignore_errors=True)
+        os.remove(f"{path}.manifest.json")
+    return man["entries"]
+
+
 # ---------------------------------------------------------------------------
 # binary CSC (.bin)
 # ---------------------------------------------------------------------------
 
 def write_bin_csc(
-    edges: DataFrame, nrows: int, ncols: int, path: str, num_buckets: Optional[int] = None
+    edges: DataFrame, nrows: int, ncols: int, path: str,
+    num_buckets: Optional[int] = None, sharded: bool = False,
 ) -> int:
     """The reference converter's output format (mtx_to_bin.c:320-368):
     CSC over the ALREADY-EXPANDED edge set — (src,dst) becomes
@@ -545,32 +598,67 @@ def write_bin_csc(
     if nnz > np.iinfo(np.uint32).max:
         shutil.rmtree(parts_dir, ignore_errors=True)
         raise GraphFormatError("nnz exceeds uint32 col_ptr capacity (format limit)")
+    if sharded:
+        # defer the single-writer assembly (see write_mtx's sharded contract)
+        _write_manifest(path, {
+            "format": "bin-csc-sharded", "nrows": nrows, "ncols": ncols,
+            "nnz": nnz, "num_buckets": B,
+        })
+        return nnz
     try:
-        with open(path, "wb") as out:
-            out.write(_HEADER_STRUCT.pack(nrows, ncols, nnz))
-            running = 0
-            np.zeros(1, dtype="<u4").tofile(out)  # col_ptr[0] = 0
-            for bk in range(B):
-                start, end = _bucket_bounds(bk, per, rem)
-                width = end - start
-                if width <= 0:
-                    continue
-                cnt_path = os.path.join(parts_dir, f"cnt-{bk:06d}")
-                if os.path.exists(cnt_path):
-                    counts = np.fromfile(cnt_path, dtype="<u4").astype(np.int64)
-                else:
-                    counts = np.zeros(width, dtype=np.int64)
-                cum = running + np.cumsum(counts)
-                cum.astype("<u4").tofile(out)
-                running = int(cum[-1])
-            for bk in range(B):
-                rows_path = os.path.join(parts_dir, f"rows-{bk:06d}")
-                if os.path.exists(rows_path):
-                    with open(rows_path, "rb") as part:
-                        shutil.copyfileobj(part, out, 16 << 20)
+        _assemble_bin_parts(path, parts_dir, nrows, ncols, nnz, B, per, rem)
     finally:
         shutil.rmtree(parts_dir, ignore_errors=True)
     return nnz
+
+
+def _assemble_bin_parts(
+    path: str, parts_dir: str, nrows: int, ncols: int, nnz: int,
+    B: int, per: int, rem: int,
+) -> None:
+    """Driver-side streamed assembly: header -> cumulative col_ptr (one
+    bucket's counts in memory at a time) -> row parts."""
+    with open(path, "wb") as out:
+        out.write(_HEADER_STRUCT.pack(nrows, ncols, nnz))
+        running = 0
+        np.zeros(1, dtype="<u4").tofile(out)  # col_ptr[0] = 0
+        for bk in range(B):
+            start, end = _bucket_bounds(bk, per, rem)
+            width = end - start
+            if width <= 0:
+                continue
+            cnt_path = os.path.join(parts_dir, f"cnt-{bk:06d}")
+            if os.path.exists(cnt_path):
+                counts = np.fromfile(cnt_path, dtype="<u4").astype(np.int64)
+            else:
+                counts = np.zeros(width, dtype=np.int64)
+            cum = running + np.cumsum(counts)
+            cum.astype("<u4").tofile(out)
+            running = int(cum[-1])
+        for bk in range(B):
+            rows_path = os.path.join(parts_dir, f"rows-{bk:06d}")
+            if os.path.exists(rows_path):
+                with open(rows_path, "rb") as part:
+                    shutil.copyfileobj(part, out, 16 << 20)
+
+
+def assemble_bin_csc(path: str, keep_parts: bool = False) -> int:
+    """Finish a ``write_bin_csc(..., sharded=True)`` export (see
+    :func:`assemble_mtx` — same decoupled, Spark-free contract). Returns
+    nnz; removes parts + manifest unless ``keep_parts``."""
+    with open(f"{path}.manifest.json") as f:
+        man = json.load(f)
+    if man.get("format") != "bin-csc-sharded":
+        raise GraphFormatError(f"{path}.manifest.json is not a bin-csc-sharded manifest")
+    parts_dir = path + ".parts"
+    B = man["num_buckets"]
+    per, rem, _ = _bucket_blocks(man["ncols"], B) if man["ncols"] else (0, 0, 0)
+    _assemble_bin_parts(path, parts_dir, man["nrows"], man["ncols"],
+                        man["nnz"], B, per, rem)
+    if not keep_parts:
+        shutil.rmtree(parts_dir, ignore_errors=True)
+        os.remove(f"{path}.manifest.json")
+    return man["nnz"]
 
 
 def read_bin_header(path: str) -> dict:

@@ -405,3 +405,42 @@ def test_writers_warn_on_oversized_buckets(spark, tmp_path, monkeypatch):
     with pytest.warns(RuntimeWarning, match="num_buckets"):
         write_bin_csc(edges, FIXTURE_N, FIXTURE_N, str(tmp_path / "warn.bin"),
                       num_buckets=1)
+
+
+def test_sharded_export_roundtrip(spark, tmp_path):
+    """sharded=True defers the single-writer concat: parts + manifest land
+    on disk with NO final file; assemble_* (pure file IO, Spark-free)
+    produces a byte-contract-identical file later."""
+    import json as _json
+    import os as _os
+
+    from pds_hw2_mpi_connected_components_spark.sources.graph_io import (
+        assemble_bin_csc,
+        assemble_mtx,
+    )
+
+    edges = spark.createDataFrame(FIXTURE_PAIRS, "src long, dst long")
+
+    p = str(tmp_path / "s.mtx")
+    total = write_mtx(edges, FIXTURE_N, p, num_buckets=4, sharded=True)
+    assert not _os.path.exists(p)  # no final file yet
+    man = _json.load(open(p + ".manifest.json"))
+    assert man["format"] == "mtx-sharded" and man["entries"] == total
+    assert sum(b["n"] for b in man["buckets"]) == total
+    assert assemble_mtx(p) == total
+    assert not _os.path.exists(p + ".parts") and not _os.path.exists(p + ".manifest.json")
+    back, _ = read_mtx(spark, p)
+    assert _edge_set(back) == _sym(FIXTURE_PAIRS)
+
+    b = str(tmp_path / "s.bin")
+    nnz = write_bin_csc(edges, FIXTURE_N, FIXTURE_N, b, num_buckets=4, sharded=True)
+    assert not _os.path.exists(b)
+    assert assemble_bin_csc(b) == nnz
+    back2, header = read_bin_csc(spark, b)
+    assert header["nnz"] == nnz
+    assert _edge_set(back2) == _edge_set(edges)
+
+    # sharded and direct writes produce byte-identical .bin files
+    b2 = str(tmp_path / "direct.bin")
+    write_bin_csc(edges, FIXTURE_N, FIXTURE_N, b2, num_buckets=4)
+    assert open(b, "rb").read() == open(b2, "rb").read()
