@@ -235,6 +235,106 @@ def _pagerank_oracle_sql(k: int = _PR_ITERS, alpha: float = 0.85) -> str:
     return "".join(parts)
 
 
+_HITS_ITERS = 15  # fixed iteration count shared by the Spark query and the oracle
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the global doc graph; tol=0.0 pins exactly
+    _HITS_ITERS iterations so the unrolled-CTE oracle computes the identical
+    float sequence (same contract as pagerank_global); round(8) absorbs
+    summation-order noise."""
+    from pds_hw2_mpi_connected_components_spark.operators.hits import hits
+
+    scores, _ = hits(
+        doc_edges_global(spark, sf_dir),
+        vertices=doc_vertices(spark, sf_dir),
+        tol=0.0,
+        max_iter=_HITS_ITERS,
+    )
+    return scores.select(
+        "vid",
+        F.round("auth", 8).alias("auth_r"),
+        F.round("hub", 8).alias("hub_r"),
+    )
+
+
+def _hits_oracle_sql(k: int = _HITS_ITERS) -> str:
+    """HITS power iteration unrolled as chained MATERIALIZED CTEs, mirroring
+    operators/hits.py float-op-for-float-op: contributions sum
+    score * (1/norm) (the lazy scale multiplier), norms are
+    sqrt(sum(x*x)) of the UNNORMALIZED half-step output, h0 = 1/sqrt(n)."""
+    zero = "CAST(0.0 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    parts = [f"""WITH e AS MATERIALIZED ({EDGES_GLOBAL_SQL}),
+ v AS MATERIALIZED (SELECT doc_id AS vid FROM documents),
+ nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+ h0 AS MATERIALIZED (SELECT vid,
+     {one} / sqrt(CAST((SELECT n FROM nn) AS DOUBLE)) AS hub FROM v),
+ sh0 AS MATERIALIZED (SELECT {one} AS s)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+ a{i} AS MATERIALIZED (SELECT v.vid, coalesce(c.s, {zero}) AS auth
+     FROM v LEFT JOIN (
+       SELECT e.dst AS vid, sum(h.hub * (SELECT s FROM sh{i - 1})) AS s
+       FROM e JOIN h{i - 1} h ON h.vid = e.src GROUP BY e.dst) c
+     ON v.vid = c.vid),
+ sa{i} AS MATERIALIZED (SELECT {one} / sqrt(sum(auth * auth)) AS s FROM a{i}),
+ h{i} AS MATERIALIZED (SELECT v.vid, coalesce(c.s, {zero}) AS hub
+     FROM v LEFT JOIN (
+       SELECT e.src AS vid, sum(a.auth * (SELECT s FROM sa{i})) AS s
+       FROM e JOIN a{i} a ON a.vid = e.dst GROUP BY e.src) c
+     ON v.vid = c.vid),
+ sh{i} AS MATERIALIZED (SELECT {one} / sqrt(sum(hub * hub)) AS s FROM h{i})""")
+    parts.append(f"""
+ SELECT a.vid, round(a.auth * (SELECT s FROM sa{k}), 8) AS auth_r,
+        round(h.hub * (SELECT s FROM sh{k}), 8) AS hub_r
+ FROM a{k} a JOIN h{k} h ON a.vid = h.vid""")
+    return "".join(parts)
+
+
+def _q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient on the blocked doc graph
+    (triangles are block-local, so the DuckDB 3-way-join oracle stays
+    cheap at sf=0.01)."""
+    from pds_hw2_mpi_connected_components_spark.operators.triangles import (
+        clustering_coefficient,
+    )
+
+    return clustering_coefficient(doc_edges_blocked(spark, sf_dir))
+
+
+_KCORE_K = 3
+_KCORE_LEVELS = 18  # unroll depth; peel depth <= block size (16) on this graph
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertices of the 3-core of the blocked doc graph. The Spark side peels
+    to a FIXPOINT; the oracle unrolls _KCORE_LEVELS peel rounds — peeling is
+    monotone, so any unroll depth >= the fixpoint depth gives the same set
+    (depth <= 16 here: each non-converged 16-doc block loses >= 1 vertex
+    per round)."""
+    from pds_hw2_mpi_connected_components_spark.operators.kcore import k_core
+
+    survivors, _ = k_core(doc_edges_blocked(spark, sf_dir), k=_KCORE_K)
+    return survivors
+
+
+def _kcore_oracle_sql(k: int = _KCORE_K, levels: int = _KCORE_LEVELS) -> str:
+    parts = [f"""WITH e AS MATERIALIZED ({EDGES_BLOCKED_SQL}),
+ s0 AS MATERIALIZED (
+   SELECT src, dst FROM (SELECT src, dst FROM e
+                         UNION SELECT dst AS src, src AS dst FROM e) z
+   WHERE src <> dst)"""]
+    for i in range(1, levels + 1):
+        parts.append(f""",
+ v{i} AS MATERIALIZED (SELECT src AS vid FROM s{i - 1}
+     GROUP BY src HAVING count(*) >= {k}),
+ s{i} AS MATERIALIZED (SELECT t.src, t.dst FROM s{i - 1} t
+     JOIN v{i} a ON t.src = a.vid JOIN v{i} b ON t.dst = b.vid)""")
+    parts.append(f"\n SELECT DISTINCT src AS vid FROM s{levels}")
+    return "".join(parts)
+
+
 def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identical extraction check runnable against a SQL oracle: build
     HTML deterministically from the documents table, run the real
@@ -533,6 +633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_blocked": _q_triangles,
         "labelprop2_blocked": _q_labelprop2,
         "pagerank_global": _q_pagerank,
+        "hits_global": _q_hits,
+        "clustering_coeff": _q_clustering,
+        "kcore3_blocked": _q_kcore,
         "extract_text": _q_extract_text,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard,
@@ -684,6 +787,31 @@ def oracle_sql() -> dict[str, str]:
             FROM v LEFT JOIN l1 ON v.vid = l1.vid LEFT JOIN t2 ON v.vid = t2.vid
         """,
         "pagerank_global": _pagerank_oracle_sql(),
+        "hits_global": _hits_oracle_sql(),
+        "clustering_coeff": f"""
+            WITH e AS MATERIALIZED ({EDGES_BLOCKED_SQL}),
+            c AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+              FROM e WHERE src <> dst),
+            tri AS MATERIALIZED (
+              SELECT e1.x AS a, e1.y AS b, e2.y AS c3
+              FROM c e1 JOIN c e2 ON e1.x = e2.x AND e1.y < e2.y
+              JOIN c e3 ON e3.x = e1.y AND e3.y = e2.y),
+            corners AS (SELECT a AS vid FROM tri
+                        UNION ALL SELECT b FROM tri
+                        UNION ALL SELECT c3 FROM tri),
+            tv AS (SELECT vid, count(*) AS tri FROM corners GROUP BY vid),
+            deg AS (SELECT vid, count(*) AS deg FROM (
+                      SELECT x AS vid FROM c UNION ALL SELECT y FROM c) z
+                    GROUP BY vid)
+            SELECT d.vid, d.deg, coalesce(tv.tri, 0) AS tri,
+                   round(CASE WHEN d.deg >= 2
+                              THEN CAST(2.0 AS DOUBLE) * coalesce(tv.tri, 0)
+                                   / (d.deg * (d.deg - 1))
+                              ELSE CAST(0.0 AS DOUBLE) END, 8) AS lcc
+            FROM deg d LEFT JOIN tv ON d.vid = tv.vid
+        """,
+        "kcore3_blocked": _kcore_oracle_sql(),
         "extract_text": r"""
             SELECT doc_id,
                    trim('Doc ' || CAST(doc_id AS VARCHAR) || ' ' ||

@@ -65,3 +65,44 @@ def triangles_per_graph(edges: DataFrame) -> DataFrame:
 
 def triangle_count(edges: DataFrame) -> int:
     return triangles_per_graph(edges).count()
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected graph:
+    2 * triangles(v) / (deg(v) * (deg(v) - 1)), 0.0 when deg(v) < 2.
+
+    Composition of the two primitives this module/degrees already pay for:
+    the oriented triangle enumeration (each triangle exploded to its three
+    corners, one groupBy) and the canonical degree table. Per-vertex
+    triangle counts shuffle O(3 * #triangles) rows with map-side combine;
+    no new scale exposure beyond triangles_per_graph itself. Returns
+    (vid, deg, tri, lcc) with lcc rounded to 8 (float-division noise floor,
+    same contract as the PageRank oracle)."""
+    tri = triangles_per_graph(edges)
+    corners = (
+        tri.select(F.col("a").alias("vid"))
+        .unionAll(tri.select(F.col("b").alias("vid")))
+        .unionAll(tri.select(F.col("c").alias("vid")))
+    )
+    tri_per_v = corners.groupBy("vid").agg(F.count("*").alias("tri"))
+    canon = canonicalize(edges)
+    deg = (
+        canon.select(F.col("src").alias("vid"))
+        .union(canon.select(F.col("dst").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("deg"))
+    )
+    return deg.join(tri_per_v, "vid", "left").select(
+        "vid",
+        "deg",
+        F.coalesce("tri", F.lit(0)).alias("tri"),
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                2.0
+                * F.coalesce("tri", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+            ).otherwise(F.lit(0.0)),
+            8,
+        ).alias("lcc"),
+    )

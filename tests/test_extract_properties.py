@@ -26,7 +26,11 @@ def test_extract_never_crashes_on_arbitrary_bytes(blob):
 
 
 @given(st.lists(st.from_regex(r"[a-z0-9./:%-]{1,30}", fullmatch=True), max_size=8),
-       st.text(alphabet=st.characters(blacklist_characters="<>&\"'"), max_size=100))
+       # exclude surrogates (Cs): they are unencodable in UTF-8, so the
+       # html.encode below would fail before the extractor is even called
+       st.text(alphabet=st.characters(blacklist_characters="<>&\"'",
+                                      blacklist_categories=("Cs",)),
+               max_size=100))
 @settings(max_examples=100, deadline=None)
 def test_links_roundtrip(hrefs, body):
     html = "<html><body>" + "".join(
