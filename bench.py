@@ -52,13 +52,18 @@ from pds_hw2_mpi_connected_components_spark.operators.degrees import degree_tabl
 from pds_hw2_mpi_connected_components_spark.operators.frontier import (  # noqa: E402
     connected_components_frontier,
 )
+from pds_hw2_mpi_connected_components_spark.operators.hits import hits  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.operators.kcore import k_core  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.operators.labelprop import label_propagation  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.operators.pagerank import pagerank  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.operators.similarity import (  # noqa: E402
     ann_topk_lsh,
     cosine_topk,
 )
-from pds_hw2_mpi_connected_components_spark.operators.triangles import triangle_count  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.operators.triangles import (  # noqa: E402
+    clustering_coefficient,
+    triangle_count,
+)
 from pds_hw2_mpi_connected_components_spark.plans.session import get_spark  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.sources.datagen import generate_pages  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.sources.doc_edges import (  # noqa: E402
@@ -122,6 +127,9 @@ def run_suite(spark, sf_dir: str, cpus: int, timed) -> dict:
     timed("doc_labelprop_5it", lambda: label_propagation(symmetrize(eb), vertices=verts, max_iter=5)[0].count())
     timed("doc_triangles", lambda: triangle_count(eb))
     timed("doc_degrees", lambda: degree_table(eg).count())
+    timed("doc_hits_10it", lambda: hits(eg, vertices=verts, tol=0.0, max_iter=10)[0].count())
+    timed("doc_kcore3", lambda: k_core(eb, k=3)[0].count())
+    timed("doc_clustering", lambda: clustering_coefficient(eb).count())
 
     # -- training-data pipeline ops --------------------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -2,6 +2,8 @@ from .cc import connected_components, cc_count  # noqa: F401
 from .facade import cc, CCResult, pagerank_auto, PRResult  # noqa: F401
 from .pagerank import pagerank  # noqa: F401
 from .labelprop import label_propagation  # noqa: F401
-from .triangles import triangle_count, triangles_per_graph  # noqa: F401
+from .triangles import clustering_coefficient, triangle_count, triangles_per_graph  # noqa: F401
+from .hits import hits  # noqa: F401
+from .kcore import k_core  # noqa: F401
 from .degrees import degree_table  # noqa: F401
 from .frontier import connected_components_frontier  # noqa: F401

@@ -26,7 +26,9 @@ the plan stays off the shuffle path:
   plan, so no extra pass rewrites the vector. Scores returned to the caller
   are fully normalized.
 - Convergence: L1 delta of the *normalized* auth vector between iterations,
-  computed in the same vertex-scale agg (co-partitioned join, no shuffle).
+  computed in the same vertex-scale agg (co-partitioned joins add no
+  shuffle; the scalar's single-partition partial-aggregate gather is
+  O(n_part) rows).
 - Float-op ordering is pinned for the DuckDB oracle: contributions sum raw
   products ``score * (1/norm)`` (not ``score/norm``), and the norm is
   ``sqrt(sum(x*x))`` of the *unnormalized* half-step output. The oracle in

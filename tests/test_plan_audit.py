@@ -175,3 +175,63 @@ def test_bucketed_edges_no_exchange(no_aqe, tmp_path):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_edges_test")
+
+
+def test_hits_iteration_exchange_budget(no_aqe):
+    """The hits docstring's budget: exactly TWO data shuffles per iteration
+    (groupBy(dst) for the auth half-step, groupBy(src) for the hub
+    half-step — the two-matvec floor). The edge-vs-scores joins, the
+    vertices left-joins, and the norm/delta aggregation are all
+    exchange-free over the flat pre-partitioned statics."""
+    spark = no_aqe
+    n_part = 8
+    edges = (
+        spark.range(2000)
+        .select((F.col("id") % 211).alias("src"), ((F.col("id") * 7 + 3) % 211).alias("dst"))
+        .where("src != dst").distinct()
+    )
+    vertices = (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct().repartition(n_part, "vid").localCheckpoint(eager=True)
+    )
+    e_by_src = edges.select("src", "dst").repartition(n_part, "src").localCheckpoint(eager=True)
+    e_by_dst = e_by_src.repartition(n_part, "dst").localCheckpoint(eager=True)
+    hubs = vertices.select("vid", F.lit(0.1).alias("hub"))
+
+    # auth half-step: ONE shuffle (the groupBy(dst) aggregation)
+    a_contrib = (
+        e_by_src.join(hubs.hint("shuffle_hash"), e_by_src.src == hubs.vid)
+        .select("dst", (F.col("hub") * F.lit(1.0)).alias("w"))
+        .groupBy("dst").agg(F.sum("w").alias("s"))
+    )
+    auths = vertices.join(a_contrib, vertices.vid == a_contrib.dst, "left").select(
+        "vid", F.coalesce("s", F.lit(0.0)).alias("auth")
+    )
+    assert shuffle_exchanges(auths) == 1
+    auths = auths.repartition(n_part, "vid").localCheckpoint(eager=True)
+
+    # hub half-step: ONE shuffle (the groupBy(src) aggregation)
+    h_contrib = (
+        e_by_dst.join(auths.hint("shuffle_hash"), e_by_dst.dst == auths.vid)
+        .select("src", (F.col("auth") * F.lit(1.0)).alias("w"))
+        .groupBy("src").agg(F.sum("w").alias("s"))
+    )
+    new_hubs = vertices.join(h_contrib, vertices.vid == h_contrib.src, "left").select(
+        "vid", F.coalesce("s", F.lit(0.0)).alias("hub")
+    )
+    assert shuffle_exchanges(new_hubs) == 1
+    new_hubs = new_hubs.repartition(n_part, "vid").localCheckpoint(eager=True)
+
+    # combined norm + delta action: the two co-partitioned joins add ZERO
+    # shuffles; the only exchange in the whole plan is the global agg's
+    # single-partition gather of per-partition partials (O(n_part) rows,
+    # not data-scale — every driver-side scalar pays it).
+    prev_auth = auths.select("vid", F.col("auth").alias("pa")).localCheckpoint(eager=True)
+    joined2 = new_hubs.join(auths, "vid").join(prev_auth, "vid")
+    assert shuffle_exchanges(joined2) == 0
+    stats = joined2.agg(
+        F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("hn"),
+        F.sum(F.abs(F.col("auth") - F.col("pa"))).alias("delta"),
+    )
+    assert shuffle_exchanges(stats) == 1  # the single-partition gather only

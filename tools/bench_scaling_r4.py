@@ -62,6 +62,14 @@ def worker(master: str, n_pages: int) -> None:
                           "spark.driver.memory": "48g",
                           "spark.driver.extraJavaOptions":
                               f"-XX:ParallelGCThreads={max(2, cpus)} -XX:ConcGCThreads=1",
+                          # pinned-core local mode: with every core saturated
+                          # by long CC stages, the in-JVM executor heartbeat
+                          # thread can starve past the 120s default and Spark
+                          # kills its own executor (observed at local[2] on
+                          # the 6M-page run: "no recent heartbeats: 198s").
+                          # Generous timeouts change no measured work.
+                          "spark.executor.heartbeatInterval": "60s",
+                          "spark.network.timeout": "1200s",
                       })
     t: dict[str, float] = {}
     info: dict = {"master": master, "cpus": cpus, "n_pages": n_pages}
