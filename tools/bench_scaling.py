@@ -121,6 +121,13 @@ def worker(master: str, n_pages: int) -> None:
                           # GC parallelism matched to the pinned core budget
                           "spark.driver.extraJavaOptions":
                               f"-XX:ParallelGCThreads={max(2, cpus)} -XX:ConcGCThreads=1",
+                          # saturated pinned-core local mode can starve the
+                          # in-JVM executor heartbeat past the 120s default
+                          # and Spark kills its own executor (seen on the r4
+                          # 6M-page local[2] leg); generous timeouts change
+                          # no measured work (tools/bench_scaling_r4.py)
+                          "spark.executor.heartbeatInterval": "60s",
+                          "spark.network.timeout": "1200s",
                       })
     t: dict[str, float] = {}
     info: dict = {"master": master, "cpus": cpus, "n_pages": n_pages}

@@ -46,7 +46,11 @@ def main() -> None:
     probe = hardware_probe()
     spark = get_spark(master=f"local[{cpus}]", app_name="throughput",
                       shuffle_partitions=cpus * 2,
-                      extra_conf={"spark.driver.memory": "90g"})
+                      extra_conf={"spark.driver.memory": "90g",
+                                  # same heartbeat guard as the scaling
+                                  # workers (tools/bench_scaling.py)
+                                  "spark.executor.heartbeatInterval": "60s",
+                                  "spark.network.timeout": "1200s"})
     edges = generate_edges(spark, n_vertices, n_components=N_COMPONENTS)
     edges = edges.localCheckpoint(eager=True)
     n_edges = edges.count()
