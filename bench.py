@@ -53,7 +53,7 @@ from pds_hw2_mpi_connected_components_spark.operators.frontier import (  # noqa:
     connected_components_frontier,
 )
 from pds_hw2_mpi_connected_components_spark.operators.hits import hits  # noqa: E402
-from pds_hw2_mpi_connected_components_spark.operators.kcore import k_core  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.operators.kcore import coreness, k_core  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.operators.labelprop import label_propagation  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.operators.pagerank import pagerank  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.operators.similarity import (  # noqa: E402
@@ -72,6 +72,17 @@ from pds_hw2_mpi_connected_components_spark.sources.doc_edges import (  # noqa: 
     doc_vertices,
 )
 from pds_hw2_mpi_connected_components_spark.sources.graph_build import build_graph, symmetrize  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.plans.flat import flat_checkpoint
+
+
+#: Quiet-window reference band for the pre-JVM CPU probe (the round-3
+#: artifact, the last bench known to have run on a stable quota). A probe
+#: outside PROBE_TOL of this band means the host quota is oscillating and
+#: per-leg medians are NOT comparable across rounds (round-4 lesson: the
+#: whole r4 suite ran 1.3-2.1x slow in such a window and its numbers had to
+#: be discarded).
+PROBE_BAND = {"probe_procs_8_sec": 0.64, "probe_procs_32_sec": 0.33}
+PROBE_TOL = 0.20  # fractional deviation that marks a window degraded
 
 
 def cpu_probe() -> dict:
@@ -89,21 +100,58 @@ def cpu_probe() -> dict:
     }
 
 
+def probe_deviation(probe: dict) -> float:
+    """Max fractional deviation of the probe legs from the quiet-window
+    band (slower OR faster counts: any quota shift breaks comparability)."""
+    devs = [
+        abs(probe[k] / ref - 1.0)
+        for k, ref in PROBE_BAND.items()
+        if probe.get(k)
+    ]
+    return max(devs) if devs else float("inf")
+
+
+def gated_probe(max_retries: int | None = None, retry_sleep: float = 45.0) -> dict:
+    """Window-aware probe (round-5 protocol, VERDICT r4 #1): probe the host
+    before the JVM starts; if the window deviates > PROBE_TOL from the
+    quiet-window band, sleep and retry up to $SPARK_GRAFT_PROBE_RETRIES
+    (default 2) times, then run anyway but stamp the artifact
+    ``window_degraded: true`` — a degraded artifact's per-leg medians must
+    not be compared across rounds, and the regression gate of FUTURE rounds
+    skips it as a baseline."""
+    if max_retries is None:
+        max_retries = int(os.environ.get("SPARK_GRAFT_PROBE_RETRIES", "2"))
+    attempt = 0
+    while True:
+        probe = cpu_probe()
+        dev = probe_deviation(probe)
+        degraded = dev > PROBE_TOL
+        if not degraded or attempt >= max_retries:
+            return {
+                **probe,
+                "probe_deviation": round(dev, 3),
+                "probe_attempts": attempt + 1,
+                "window_degraded": degraded,
+            }
+        attempt += 1
+        time.sleep(retry_sleep)
+
+
 def run_suite(spark, sf_dir: str, cpus: int, timed) -> dict:
     """One full pass over every headline leg. ``timed(name, fn)`` records a
     leg; returns pass-invariant graph stats for the throughput extras."""
     # -- flagship end-to-end: pages -> extract -> graph -> CC ------------
     n_pages = 30_000
     pages = generate_pages(spark, n_pages, n_components=16, num_partitions=cpus)
-    pages = timed("pipeline_pages_materialize", lambda: pages.localCheckpoint(eager=True))
+    pages = timed("pipeline_pages_materialize", lambda: pages.transform(flat_checkpoint))
 
     def _build():
         g = build_graph(pages)
-        g.edges.localCheckpoint(eager=True)
+        g.edges.transform(flat_checkpoint)
         return g
 
     g = timed("pipeline_build_graph", _build)
-    edges = g.edges.localCheckpoint(eager=True)
+    edges = g.edges.transform(flat_checkpoint)
     n_edges_sym = symmetrize(edges).count()
 
     def _cc():
@@ -114,8 +162,8 @@ def run_suite(spark, sf_dir: str, cpus: int, timed) -> dict:
     cc_metrics = timed("pipeline_cc", _cc)
 
     # -- document-graph queries at the sf dir ----------------------------
-    eg = doc_edges_global(spark, sf_dir).localCheckpoint(eager=True)
-    eb = doc_edges_blocked(spark, sf_dir).localCheckpoint(eager=True)
+    eg = doc_edges_global(spark, sf_dir).transform(flat_checkpoint)
+    eb = doc_edges_blocked(spark, sf_dir).transform(flat_checkpoint)
     verts = doc_vertices(spark, sf_dir)
 
     timed("doc_cc_global", lambda: connected_components(eg, vertices=verts)[0].count())
@@ -129,6 +177,7 @@ def run_suite(spark, sf_dir: str, cpus: int, timed) -> dict:
     timed("doc_degrees", lambda: degree_table(eg).count())
     timed("doc_hits_10it", lambda: hits(eg, vertices=verts, tol=0.0, max_iter=10)[0].count())
     timed("doc_kcore3", lambda: k_core(eb, k=3)[0].count())
+    timed("doc_coreness", lambda: coreness(eb)[0].count())
     timed("doc_clustering", lambda: clustering_coefficient(eb).count())
 
     # -- training-data pipeline ops --------------------------------------
@@ -153,7 +202,7 @@ def run_suite(spark, sf_dir: str, cpus: int, timed) -> dict:
         F.concat(F.lit("the common filler u"), F.col("id").cast("string"),
                  F.lit(" v"), (F.col("id") * 7 % 997).cast("string")).alias("text"),
         (F.col("id") % 8).cast("string").alias("source"),
-    ).localCheckpoint(eager=True)
+    ).transform(flat_checkpoint)
     timed("jaccard_hot20k", lambda: jaccard_pairs(hot, threshold=0.3).count())
 
     # -- skew guard #2: LSH hot bucket. 20k near-identical docs collapse
@@ -163,7 +212,7 @@ def run_suite(spark, sf_dir: str, cpus: int, timed) -> dict:
     # analog of jaccard_hot20k.
     degen = spark.range(n_hot).select(
         F.col("id").alias("doc_id"), F.lit("boilerplate stub page").alias("text")
-    ).localCheckpoint(eager=True)
+    ).transform(flat_checkpoint)
     timed("lsh_hot20k", lambda: minhash_lsh_candidates(degen).count())
 
     # -- relational legs ---------------------------------------------------
@@ -174,40 +223,74 @@ def run_suite(spark, sf_dir: str, cpus: int, timed) -> dict:
     return {"cc_sym_edges": n_edges_sym, "cc_rounds": len(cc_metrics)}
 
 
+def _load_bench_artifact(path: str) -> dict | None:
+    """Best-effort parse of a driver-recorded BENCH_r*.json: the driver
+    wraps our JSON line in {"parsed": ...}; when its own parse failed
+    (parsed: null — the r4 artifact), recover the line from "tail"."""
+    try:
+        with open(path) as f:
+            raw = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if not isinstance(raw, dict):
+        return None
+    prev = raw.get("parsed", raw)
+    if isinstance(prev, dict):
+        return prev
+    tail = raw.get("tail", "")
+    start = tail.find('{"metric"')
+    if start < 0:
+        return None
+    try:
+        out = json.loads(tail[start:])
+        return out if isinstance(out, dict) else None
+    except ValueError:
+        return None
+
+
 def regression_gate(queries: dict, stddev: dict, sf: str, cpus: int) -> dict:
     """Cross-round regression adjudication (benchmark.c:275-284's trial
     consistency made round-over-round): compare each leg's median to the
-    newest BENCH_r*.json recorded by the driver in the repo root. A leg
-    regresses only if it is BOTH >25% slower AND outside 3x the larger of
-    the two runs' stddevs (floored at 0.05s) — the double condition is the
-    shared-host noise band established in round 3. Skips silently when no
-    prior artifact exists or its sf/cpus differ (not comparable)."""
+    newest COMPARABLE, QUIET-WINDOW BENCH_r*.json in the repo root —
+    artifacts from a degraded host window (window_degraded, or a recorded
+    probe outside the PROBE_TOL band: the r4 case) are skipped as
+    baselines, because their uniform inflation would mask real regressions
+    AND flag phantom improvements. A leg regresses only if it is BOTH >25%
+    slower AND outside 3x the larger of the two runs' stddevs (floored at
+    0.05s) — the double condition is the shared-host noise band established
+    in round 3. Skips silently when no comparable artifact exists."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not files:
-        return {"baseline_bench": None, "regressions": []}
-    name = os.path.basename(files[-1])
-    try:
-        with open(files[-1]) as f:
-            raw = json.load(f)
-        prev = raw.get("parsed", raw)  # driver wraps the JSON line in "parsed"
-        if str(prev.get("sf")) != str(sf) or int(prev.get("cpus", -1)) != cpus:
-            return {"baseline_bench": name, "regressions": [],
-                    "baseline_comparable": False}
-        pq, ps = prev.get("queries", {}), prev.get("stddev", {})
-    except (OSError, ValueError, KeyError):
-        return {"baseline_bench": name, "regressions": []}
-    regs = []
-    for k, cur in queries.items():
-        if k not in pq:
+    skipped = []
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        name = os.path.basename(path)
+        prev = _load_bench_artifact(path)
+        if prev is None:
+            skipped.append({"artifact": name, "why": "unparseable"})
             continue
-        band = 3 * max(ps.get(k, 0.0), stddev.get(k, 0.0), 0.05)
-        if cur > pq[k] * 1.25 and cur - pq[k] > band:
-            regs.append({"query": k, "prev": pq[k], "cur": cur,
-                         "band": round(band, 3)})
-    return {"baseline_bench": name, "regressions": regs}
+        if str(prev.get("sf")) != str(sf) or int(prev.get("cpus", -1)) != cpus:
+            skipped.append({"artifact": name, "why": "sf/cpus differ"})
+            continue
+        if not any(k in prev for k in PROBE_BAND):
+            skipped.append({"artifact": name, "why": "no probe recorded"})
+            continue
+        if prev.get("window_degraded") or probe_deviation(prev) > PROBE_TOL:
+            skipped.append({"artifact": name, "why": "degraded host window"})
+            continue
+        pq, ps = prev.get("queries", {}), prev.get("stddev", {})
+        regs = []
+        for k, cur in queries.items():
+            if k not in pq:
+                continue
+            band = 3 * max(ps.get(k, 0.0), stddev.get(k, 0.0), 0.05)
+            if cur > pq[k] * 1.25 and cur - pq[k] > band:
+                regs.append({"query": k, "prev": pq[k], "cur": cur,
+                             "band": round(band, 3)})
+        return {"baseline_bench": name, "regressions": regs,
+                "baseline_skipped": skipped}
+    return {"baseline_bench": None, "regressions": [],
+            "baseline_skipped": skipped}
 
 
 def main() -> None:
@@ -216,7 +299,8 @@ def main() -> None:
     n_trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    probe = cpu_probe()  # before the JVM: fork-safe, and measures the host bare
+    probe = gated_probe()  # before the JVM: fork-safe, measures the host bare,
+    # and retries/flags when the quota window is degraded (round-5 protocol)
 
     spark = get_spark(master=f"local[{cpus}]", app_name="bench",
                       shuffle_partitions=max(8, cpus))

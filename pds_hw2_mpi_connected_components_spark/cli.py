@@ -33,6 +33,7 @@ from .operators.facade import cc, pagerank_auto
 from .plans.session import get_spark
 from .sources.graph_build import build_graph, symmetrize
 from .sources.graph_io import GraphFormatError, read_bin_csc, read_mtx, write_bin_csc
+from .plans.flat import flat_checkpoint
 
 
 def _load_edges(spark, path: str):
@@ -45,7 +46,7 @@ def _load_edges(spark, path: str):
         edges, _ = read_bin_csc(spark, path)
     else:
         edges = spark.read.parquet(path)
-    return edges.localCheckpoint(eager=True)
+    return edges.transform(flat_checkpoint)
 
 
 def _time_stats(times: list[float]) -> dict:

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.checkpoint import CheckpointStore
+from ..plans.flat import flat_checkpoint
 
 MAX_ROUNDS = 100  # safety cap, analog of MAX_ITER=512 (connected_components.c:103)
 
@@ -146,7 +147,7 @@ def connected_components(
             start_round += 1
 
     if prev_sum is None:
-        e = e.localCheckpoint(eager=True)
+        e = e.transform(flat_checkpoint)
         prev_sum = _checksum(e)
 
     metrics: list[dict] = []
@@ -157,7 +158,7 @@ def connected_components(
             nxt = checkpoint.write("cc_edges", rnd, nxt,
                                    meta={"checksum": None})  # checksum patched below
         else:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.transform(flat_checkpoint)
         cur_sum = _checksum(nxt)
         changed = cur_sum != prev_sum
         dt = time.monotonic() - t0

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_md5, portable_token_hash
+from ..plans.flat import flat_checkpoint
 
 P = 2147483647  # Mersenne prime 2^31-1; universal-hash modulus
 
@@ -280,7 +281,7 @@ def near_dup_clusters(
 
     cands = minhash_lsh_candidates(
         df, rows_per_band, id_col, text_col, max_bucket
-    ).localCheckpoint(eager=True)
+    ).transform(flat_checkpoint)
     toks = tokens(df, id_col, text_col)
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
     ta = toks.select(F.col("id").alias("a"), "tok")

@@ -42,6 +42,7 @@ from .cc import connected_components
 from .csr import connected_components_csr, pagerank_csr
 from .frontier import connected_components_frontier
 from .pagerank import pagerank as pagerank_df
+from ..plans.flat import flat_checkpoint
 
 DEFAULT_CSR_MAX_VERTICES = 2_000_000
 
@@ -84,7 +85,7 @@ def cc(
                 edges.select(F.col("src").alias("vid"))
                 .union(edges.select(F.col("dst").alias("vid")))
                 .distinct()
-                .localCheckpoint(eager=True)
+                .transform(flat_checkpoint)
             )
         n = vertices.count()
         chosen = "csr" if (n <= csr_max_vertices and checkpoint is None) else "df"
@@ -153,7 +154,7 @@ def pagerank_auto(
                 edges.select(F.col("src").alias("vid"))
                 .union(edges.select(F.col("dst").alias("vid")))
                 .distinct()
-                .localCheckpoint(eager=True)
+                .transform(flat_checkpoint)
             )
         n = vertices.count()
         chosen = "csr" if (n <= csr_max_vertices and checkpoint is None) else "df"

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from ..plans.checkpoint import CheckpointStore
 from .csr import pack_by_dst
+from ..plans.flat import flat_checkpoint
 
 MAX_ROUNDS = 512  # reference MAX_ITER (connected_components.c:103)
 
@@ -87,7 +88,7 @@ def connected_components_frontier(
     labels = (
         universe.select("vid", F.col("vid").alias("label"))
         .repartition(n_part, "vid")
-        .localCheckpoint(eager=True)
+        .transform(flat_checkpoint)
     )
     # round 0 frontier = every vertex (conceptually); executed distributed.
     frontier_df: Optional[DataFrame] = None  # None => "all of labels"
@@ -97,12 +98,12 @@ def connected_components_frontier(
         resumed = checkpoint.latest("frontier_labels")
         if resumed is not None:
             start_round, labels = resumed
-            labels = labels.repartition(n_part, "vid").localCheckpoint(eager=True)
+            labels = labels.repartition(n_part, "vid").transform(flat_checkpoint)
             # the frontier of the SAME round (labels are written after the
             # frontier, so a committed labels round implies a committed
             # frontier round)
             frontier_df = checkpoint.read("frontier_changed", start_round)
-            frontier_df = frontier_df.repartition(n_part, "vid").localCheckpoint(eager=True)
+            frontier_df = frontier_df.repartition(n_part, "vid").transform(flat_checkpoint)
             frontier_rows = frontier_df.count()
             start_round += 1
             if frontier_rows == 0:  # crashed after converging round
@@ -139,7 +140,7 @@ def connected_components_frontier(
                 .alias("new_label"),
             )
             .repartition(n_part, "vid")
-            .localCheckpoint(eager=True)
+            .transform(flat_checkpoint)
         )
         new_labels = joined.select("vid", F.col("new_label").alias("label"))
         frontier_df = joined.where(F.col("new_label") < F.col("label")).select(

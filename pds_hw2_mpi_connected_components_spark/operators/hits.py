@@ -18,17 +18,20 @@ the plan stays off the shuffle path:
   (joined against hubs on src, aggregated to dst) and ``e_by_dst`` (joined
   against auths on dst, aggregated to src). Built once, localCheckpoint
   (partitioning-preserving; rationale in operators/pagerank.py docstring).
-- L2 norms ride the SAME action that materializes each half-step: the
-  half-step output is repartition+localCheckpoint'ed (the repartition is a
-  planner no-op when the join already produced hash(vid)), then a cheap
-  vertex-scale agg computes ``sum(x*x)`` — the normalization is applied
-  LAZILY as a literal ``* (1/norm)`` multiplier in the NEXT half-step's
-  plan, so no extra pass rewrites the vector. Scores returned to the caller
-  are fully normalized.
-- Convergence: L1 delta of the *normalized* auth vector between iterations,
-  computed in the same vertex-scale agg (co-partitioned joins add no
-  shuffle; the scalar's single-partition partial-aggregate gather is
-  O(n_part) rows).
+- L2 norms AND the convergence delta ride the SAME actions that materialize
+  the half-steps, via ``DataFrame.observe``: the auth half-step observes
+  ``sum(auth*auth)``; the hub half-step co-joins the (already
+  hash(vid)-partitioned, so exchange-free) current and previous auth
+  vectors and observes ``sum(hub*hub)`` plus the auth L1 delta. Each
+  iteration therefore runs exactly TWO Spark jobs — the two
+  localCheckpoint materializations — with no separate scalar actions
+  (audited by tests/test_plan_audit.py::test_hits_jobs_per_iteration).
+- Normalization is applied LAZILY as a literal ``* (1/norm)`` multiplier in
+  the NEXT half-step's plan, so no extra pass rewrites the vector; the
+  previous auth vector is kept UNnormalized next to its scale (no extra
+  materialization for the delta baseline — the lazy product
+  ``auth * lit(scale)`` is bit-identical to a materialized one). Scores
+  returned to the caller are fully normalized.
 - Float-op ordering is pinned for the DuckDB oracle: contributions sum raw
   products ``score * (1/norm)`` (not ``score/norm``), and the norm is
   ``sqrt(sum(x*x))`` of the *unnormalized* half-step output. The oracle in
@@ -41,8 +44,51 @@ import math
 import time
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from ..plans.flat import flat_checkpoint
+
+#: Spark jobs per iteration — the two half-step materializations; norms and
+#: the convergence delta are observed metrics on those same jobs.
+JOBS_PER_ITERATION = 2
+
+
+def auth_half_step(
+    vertices: DataFrame, e_by_src: DataFrame, hubs: DataFrame, hub_scale: float
+) -> DataFrame:
+    """One auth matvec: a_un = A^T (h * hub_scale) over the full vertex set
+    (missing in-links -> 0.0). ONE edge-scale shuffle: the groupBy(dst)
+    partial->final aggregation; the e_by_src join and the vertices left-join
+    consume the flat hash(src)/hash(vid) statics exchange-free. Audited by
+    tests/test_plan_audit.py::test_hits_iteration_exchange_budget against
+    THIS builder (the operator and the test share it)."""
+    a_contrib = (
+        e_by_src.join(hubs.hint("shuffle_hash"), e_by_src.src == hubs.vid)
+        .select("dst", (F.col("hub") * F.lit(hub_scale)).alias("w"))
+        .groupBy("dst")
+        .agg(F.sum("w").alias("s"))
+    )
+    return (
+        vertices.join(a_contrib, vertices.vid == a_contrib.dst, "left")
+        .select("vid", F.coalesce("s", F.lit(0.0)).alias("auth"))
+    )
+
+
+def hub_half_step(
+    vertices: DataFrame, e_by_dst: DataFrame, auths: DataFrame, auth_scale: float
+) -> DataFrame:
+    """One hub matvec: h_un = A (a * auth_scale); mirror of
+    :func:`auth_half_step` (ONE edge-scale shuffle, the groupBy(src) agg)."""
+    h_contrib = (
+        e_by_dst.join(auths.hint("shuffle_hash"), e_by_dst.dst == auths.vid)
+        .select("src", (F.col("auth") * F.lit(auth_scale)).alias("w"))
+        .groupBy("src")
+        .agg(F.sum("w").alias("s"))
+    )
+    return (
+        vertices.join(h_contrib, vertices.vid == h_contrib.src, "left")
+        .select("vid", F.coalesce("s", F.lit(0.0)).alias("hub"))
+    )
 
 
 def hits(
@@ -55,7 +101,11 @@ def hits(
 
     Vertices with no in-links get auth 0; no out-links get hub 0 (standard
     HITS semantics on the full vertex set). Both vectors are L2-normalized.
+    ``max_iter`` must be >= 1 (the result is the last completed iteration's
+    vectors, so zero iterations have no defined output).
     """
+    if max_iter < 1:
+        raise ValueError(f"hits() requires max_iter >= 1, got {max_iter}")
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if vertices is None:
@@ -65,7 +115,7 @@ def hits(
             .distinct()
         )
     vertices = (
-        vertices.select("vid").repartition(n_part, "vid").localCheckpoint(eager=True)
+        vertices.select("vid").repartition(n_part, "vid").transform(flat_checkpoint)
     )
     n = vertices.count()
     if n == 0:
@@ -76,33 +126,30 @@ def hits(
     e_by_src = edges.select("src", "dst").repartition(n_part, "src").localCheckpoint(
         eager=True
     )
-    e_by_dst = e_by_src.repartition(n_part, "dst").localCheckpoint(eager=True)
+    e_by_dst = e_by_src.repartition(n_part, "dst").transform(flat_checkpoint)
 
     # hub_0 = 1 for every vertex, pre-normalized (norm = sqrt(n), exact here)
     inv = 1.0 / math.sqrt(float(n))
     hubs = vertices.select("vid", F.lit(inv).alias("hub"))
     hub_scale = 1.0  # lazy 1/||.|| multiplier for the CURRENT hubs table
     auth_scale = 1.0
-    prev_auth = None  # normalized auth of the previous iteration (for delta)
+    # previous iteration's UNnormalized auth vector + its scale (the delta
+    # baseline; product applied lazily, bit-identical to materializing it)
+    prev: Optional[tuple[DataFrame, float]] = None
 
     metrics: list[dict] = []
     for it in range(max_iter):
         t0 = time.monotonic()
-        # ---- auth half-step: a_un = A^T (h * hub_scale) -----------------
-        a_contrib = (
-            e_by_src.join(hubs.hint("shuffle_hash"), e_by_src.src == hubs.vid)
-            .select("dst", (F.col("hub") * F.lit(hub_scale)).alias("w"))
-            .groupBy("dst")
-            .agg(F.sum("w").alias("s"))
-        )
+        # ---- auth half-step: norm observed on the materializing job -----
+        a_obs = Observation()
         auths = (
-            vertices.join(a_contrib, vertices.vid == a_contrib.dst, "left")
-            .select("vid", F.coalesce("s", F.lit(0.0)).alias("auth"))
+            auth_half_step(vertices, e_by_src, hubs, hub_scale)
+            .observe(a_obs, F.sum(F.col("auth") * F.col("auth")).alias("ss"))
             .repartition(n_part, "vid")
-            .localCheckpoint(eager=True)
+            .transform(flat_checkpoint)
         )
-        a_norm = auths.agg(F.sqrt(F.sum(F.col("auth") * F.col("auth")))).collect()[0][0]
-        if not a_norm or a_norm == 0.0:
+        a_norm = math.sqrt(a_obs.get["ss"] or 0.0)
+        if a_norm == 0.0:
             # no edges at all: auth == hub == 0 everywhere, done
             zero = vertices.select(
                 "vid", F.lit(0.0).alias("auth"), F.lit(0.0).alias("hub")
@@ -111,51 +158,53 @@ def hits(
             return zero, metrics
         auth_scale = 1.0 / a_norm
 
-        # ---- hub half-step: h_un = A (a * auth_scale) -------------------
-        h_contrib = (
-            e_by_dst.join(auths.hint("shuffle_hash"), e_by_dst.dst == auths.vid)
-            .select("src", (F.col("auth") * F.lit(auth_scale)).alias("w"))
-            .groupBy("src")
-            .agg(F.sum("w").alias("s"))
-        )
-        new_hubs = (
-            vertices.join(h_contrib, vertices.vid == h_contrib.src, "left")
-            .select("vid", F.coalesce("s", F.lit(0.0)).alias("hub"))
-            .repartition(n_part, "vid")
-            .localCheckpoint(eager=True)
-        )
-
-        # ---- one vertex-scale action: hub norm + auth L1 delta ----------
-        if prev_auth is not None:
-            row = (
-                new_hubs.join(auths, "vid")
-                .join(prev_auth.select("vid", F.col("auth").alias("pa")), "vid")
-                .agg(
-                    F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("hn"),
+        # ---- hub half-step: norm (+ auth L1 delta vs the previous
+        # iteration) observed on the materializing job; the auths / prev
+        # joins are hash(vid)-co-partitioned, so they add no exchange ------
+        h_obs = Observation()
+        hub_plan = hub_half_step(vertices, e_by_dst, auths, auth_scale)
+        if prev is not None:
+            pa_df, pa_scale = prev
+            hub_plan = (
+                hub_plan.join(auths.hint("shuffle_hash"), "vid")
+                .join(
+                    pa_df.hint("shuffle_hash").select(
+                        "vid", F.col("auth").alias("pa")
+                    ),
+                    "vid",
+                )
+                .observe(
+                    h_obs,
+                    F.sum(F.col("hub") * F.col("hub")).alias("hh"),
                     F.sum(
-                        F.abs(F.col("auth") * F.lit(auth_scale) - F.col("pa"))
+                        F.abs(
+                            F.col("auth") * F.lit(auth_scale)
+                            - F.col("pa") * F.lit(pa_scale)
+                        )
                     ).alias("delta"),
                 )
-                .collect()[0]
+                .select("vid", "hub")
             )
-            h_norm, delta = row["hn"], row["delta"]
         else:
-            h_norm = new_hubs.agg(
-                F.sqrt(F.sum(F.col("hub") * F.col("hub")))
-            ).collect()[0][0]
-            delta = float("inf")
+            hub_plan = hub_plan.observe(
+                h_obs, F.sum(F.col("hub") * F.col("hub")).alias("hh")
+            )
+        new_hubs = hub_plan.repartition(n_part, "vid").transform(flat_checkpoint)
+        m = h_obs.get
+        h_norm = math.sqrt(m["hh"] or 0.0)
+        delta = m["delta"] if prev is not None else float("inf")
         hub_scale = 1.0 / h_norm if h_norm else 1.0
         hubs = new_hubs
-        prev_auth = auths.select(
-            "vid", (F.col("auth") * F.lit(auth_scale)).alias("auth")
-        ).localCheckpoint(eager=True)
+        prev = (auths, auth_scale)
         dt = time.monotonic() - t0
         metrics.append({"iter": it, "l1_delta": delta, "sec": dt})
         if delta < tol:
             break
 
+    pa_df, pa_scale = prev
     out = (
-        prev_auth.join(
+        pa_df.select("vid", (F.col("auth") * F.lit(pa_scale)).alias("auth"))
+        .join(
             hubs.select("vid", (F.col("hub") * F.lit(hub_scale)).alias("hub")), "vid"
         )
         .select("vid", "auth", "hub")

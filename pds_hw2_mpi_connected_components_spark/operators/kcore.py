@@ -3,32 +3,53 @@
 Link-graph extension (SURVEY.md §2.9 family): the k-core of an undirected
 graph is the maximal induced subgraph where every vertex has degree >= k —
 the standard web/social-graph denoising primitive (drop leaf chains and
-sparse fringe before community / centrality analysis).
+sparse fringe before community / centrality analysis). :func:`coreness`
+generalizes it to the full decomposition: every vertex's core number
+(the largest k whose k-core contains it) in ONE delta-peeling pass.
 
-Algorithm: repeat { compute degrees on the surviving edge set; drop
-vertices with deg < k; drop edges touching a dropped vertex } until no
-vertex is dropped. Each round is ONE edge-scale aggregation (groupBy over
-the symmetrized survivor edges, map-side combine) plus one semi/anti join
-pair to shrink the edge set — the same shrinking-working-set shape as the
-star-contraction CC loop (operators/cc.py), and like it the per-round
-volume is O(surviving edges), monotonically decreasing. Convergence is a
-driver-side O(1) count comparison; lineage is cut every round with
-localCheckpoint (rationale in operators/pagerank.py docstring).
+``k_core`` algorithm: repeat { compute degrees on the surviving edge set;
+drop vertices with deg < k; drop edges touching a dropped vertex } until no
+vertex is dropped. Per-round shuffle budget (counted the plan-audit way):
+ONE edge-scale aggregation (groupBy(src) over the symmetrized survivor
+edges, map-side combine), TWO left_semi joins against the survivor set
+(each consumed exchange-free on the src side / after the repartition on the
+dst side), and TWO edge-scale repartition exchanges (by dst for the second
+semi join, then back by src for the next round's aggregation). The same
+shrinking-working-set shape as the star-contraction CC loop
+(operators/cc.py): per-round volume is O(surviving edges), monotonically
+decreasing. Convergence is a driver-side O(1) count comparison; lineage is
+cut every round with localCheckpoint (rationale in operators/pagerank.py
+docstring).
+
+``coreness`` algorithm (delta-peeling — the late-round win ``k_core``
+doesn't need for small k): maintain only the ALIVE degree table. Per round,
+vertices below the current threshold k are victims (their core number is
+k-1); instead of re-aggregating degrees over all survivors, aggregate ONLY
+the victims' incident edges (one shuffle over O(victim-incident edges)) and
+subtract those losses from their neighbors' degrees with co-partitioned
+joins. The full edge table is never shrunk: edges into already-peeled
+vertices aggregate losses that the degree join simply drops — late rounds
+cost O(peel boundary), not O(survivors). The threshold jumps straight to
+(min alive degree)+1 when a peel round reaches a fixpoint, so round count
+equals the sequential peel's round count, not max-coreness x rounds.
 
 At 100 TB: peeling rounds on web graphs are few for small k (the fringe is
 shallow); the dominant cost is the first rounds' full-edge aggregations,
 which are the same shuffle the degree histogram already pays. No state is
-ever replicated or collected to the driver.
+ever replicated or collected to the driver beyond O(1) scalars.
 """
 
 from __future__ import annotations
 
 import time
+import warnings
+from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..sources.graph_build import symmetrize
+from ..plans.flat import flat_checkpoint
 
 
 def k_core(
@@ -37,13 +58,18 @@ def k_core(
     """Returns ((vid,) survivors of the k-core, metrics). ``edges`` is an
     undirected edge table in either canonical or symmetric form (it is
     symmetrized + deduped here); isolated vertices are never in a k-core
-    for k >= 1, so no vertex table is needed."""
+    for k >= 1, so no vertex table is needed.
+
+    Every metrics entry carries ``converged``; if ``max_iter`` rounds run
+    out before the peel fixpoint, the result is a SUPERSET of the true
+    k-core — the final entry then has ``converged: False`` and a
+    RuntimeWarning is emitted."""
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sym = (
         symmetrize(edges.select("src", "dst"))
         .repartition(n_part, "src")
-        .localCheckpoint(eager=True)
+        .transform(flat_checkpoint)
     )
     metrics: list[dict] = []
     n_edges = sym.count()
@@ -64,15 +90,134 @@ def k_core(
                 "left_semi",
             )
             .repartition(n_part, "src")
-            .localCheckpoint(eager=True)
+            .transform(flat_checkpoint)
         )
         new_edges = new_sym.count()
         dt = time.monotonic() - t0
-        metrics.append(
-            {"iter": it, "edges": new_edges, "sec": dt}
-        )
         converged = new_edges == n_edges
+        metrics.append(
+            {"iter": it, "edges": new_edges, "sec": dt, "converged": converged}
+        )
         sym, n_edges = new_sym, new_edges
         if converged:
             break
+    if metrics and not metrics[-1]["converged"]:
+        warnings.warn(
+            f"k_core(k={k}) hit max_iter={max_iter} before the peel fixpoint: "
+            "the returned vertex set is a superset of the true k-core "
+            "(metrics[-1]['converged'] is False)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return sym.select("src").distinct().withColumnRenamed("src", "vid"), metrics
+
+
+def coreness(
+    edges: DataFrame,
+    vertices: Optional[DataFrame] = None,
+    max_iter: int = 100_000,
+) -> tuple[DataFrame, list[dict]]:
+    """Full core decomposition: returns ((vid, coreness), metrics).
+
+    ``coreness(v)`` = the largest k such that v is in the k-core; isolated
+    vertices (present in ``vertices`` but not in any edge) get coreness 0.
+    Delta-peeling (module docstring): per round, ONE shuffle over the
+    current victims' incident edges plus co-partitioned joins to update the
+    alive-degree table — never a full-survivor re-aggregation after round 0.
+    The victim count rides the degree materialization as an observed metric,
+    so each round runs exactly TWO Spark jobs (the min/count scalar agg and
+    the new-degree localCheckpoint).
+
+    ``k_core(edges, k)``'s survivor set equals
+    ``coreness(edges).where(coreness >= k)`` (tested in
+    tests/test_linkstats.py); the decomposition costs one peel pass for ALL
+    k instead of one fixpoint loop per k."""
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sym = (
+        symmetrize(edges.select("src", "dst"))
+        .repartition(n_part, "src")
+        .transform(flat_checkpoint)
+    )
+    # alive-degree table, hash(vid) == hash(src) partitioned
+    deg = (
+        sym.groupBy("src").agg(F.count("*").alias("deg"))
+        .select(F.col("src").alias("vid"), "deg")
+        .transform(flat_checkpoint)
+    )
+    peeled: list[DataFrame] = []  # (vid, coreness) batches; lazy over checkpointed degs
+    metrics: list[dict] = []
+    k = 1
+    converged = False
+    for it in range(max_iter):
+        t0 = time.monotonic()
+        row = deg.agg(
+            F.min("deg").alias("mn"), F.count("*").alias("alive")
+        ).collect()[0]
+        mn, alive = row["mn"], row["alive"]
+        if alive == 0:
+            converged = True
+            metrics.append(
+                {"iter": it, "k": k, "alive": 0, "victims": 0,
+                 "sec": time.monotonic() - t0, "converged": True}
+            )
+            break
+        # fixpoint at the current threshold: jump straight to the smallest
+        # threshold that produces victims (min alive degree + 1). The alive
+        # graph is the t-core for every t <= mn, so victims removed at
+        # threshold k get core number k-1 = mn.
+        if mn >= k:
+            k = mn + 1
+        victims = deg.where(F.col("deg") < k)
+        peeled.append(victims.select("vid", F.lit(k - 1).alias("coreness")))
+        # losses: victims' incident edges aggregated to the surviving
+        # neighbor — THE one shuffle of the round, O(victim-incident edges).
+        # sym is hash(src)-partitioned and victims hash(vid): the semi join
+        # is exchange-free; the groupBy(dst) shuffles only victim edges.
+        losses = (
+            sym.join(victims.hint("shuffle_hash"), sym.src == victims.vid, "left_semi")
+            .groupBy("dst")
+            .agg(F.count("*").alias("loss"))
+            .select(F.col("dst").alias("vid"), "loss")
+        )
+        # co-partitioned anti join (drop victims) + left join (apply losses);
+        # losses arrives hash(dst)==hash(vid) partitioned — no exchange.
+        # Losses into already-peeled vertices are dropped by the anti join
+        # on the victim side of earlier rounds (they are no longer in deg).
+        vc_obs = Observation()
+        deg = (
+            deg.join(victims.hint("shuffle_hash"), "vid", "left_anti")
+            .join(losses.hint("shuffle_hash"), "vid", "left")
+            .select(
+                "vid", (F.col("deg") - F.coalesce("loss", F.lit(0))).alias("deg")
+            )
+            .observe(vc_obs, F.count("*").alias("left"))
+            .transform(flat_checkpoint)
+        )
+        n_victims = alive - (vc_obs.get["left"] or 0)
+        metrics.append(
+            {"iter": it, "k": k, "alive": alive, "victims": n_victims,
+             "sec": time.monotonic() - t0, "converged": False}
+        )
+    if not converged:
+        warnings.warn(
+            f"coreness() hit max_iter={max_iter} before peeling completed: "
+            "vertices still alive are missing from the result "
+            "(metrics[-1]['converged'] is False)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    if peeled:
+        out = peeled[0]
+        for p in peeled[1:]:
+            out = out.unionByName(p)
+    else:
+        out = sym.sparkSession.createDataFrame([], "vid long, coreness long")
+    out = out.select("vid", F.col("coreness").cast("long").alias("coreness"))
+    if vertices is not None:
+        out = (
+            vertices.select("vid")
+            .join(out, "vid", "left")
+            .select("vid", F.coalesce("coreness", F.lit(0)).alias("coreness"))
+        )
+    return out, metrics

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.checkpoint import CheckpointStore
+from ..plans.flat import flat_checkpoint
 
 
 def lp_superstep(sym_edges: DataFrame, labels: DataFrame) -> DataFrame:
@@ -111,7 +112,7 @@ def label_propagation(
     # flat + hash(src): the per-superstep gather join streams the edges with
     # no exchange (labels side is hash(vid) = the join key's partitioning)
     sym_edges = (
-        sym_edges.select("src", "dst").repartition(n_part, "src").localCheckpoint(eager=True)
+        sym_edges.select("src", "dst").repartition(n_part, "src").transform(flat_checkpoint)
     )
 
     start_iter, labels = 0, None
@@ -119,13 +120,13 @@ def label_propagation(
         resumed = checkpoint.latest("labelprop")
         if resumed is not None:
             start_iter, labels = resumed
-            labels = labels.repartition(n_part, "vid").localCheckpoint(eager=True)
+            labels = labels.repartition(n_part, "vid").transform(flat_checkpoint)
             start_iter += 1
     if labels is None:
         labels = (
             vertices.select("vid", F.col("vid").alias("label"))
             .repartition(n_part, "vid")
-            .localCheckpoint(eager=True)
+            .transform(flat_checkpoint)
         )
 
     metrics: list[dict] = []
@@ -148,7 +149,7 @@ def label_propagation(
                 )
                 .select(F.col("dst").alias("vid"))
                 .distinct()
-                .localCheckpoint(eager=True)
+                .transform(flat_checkpoint)
             )
             dirty_rows = dirty.count()
             if dirty_rows <= dirty_broadcast_threshold:
@@ -163,13 +164,13 @@ def label_propagation(
         new_labels = lp_superstep(gather_edges, labels)
         if checkpoint is not None:
             new_labels = checkpoint.write("labelprop", it, new_labels)
-        new_labels = new_labels.repartition(n_part, "vid").localCheckpoint(eager=True)
+        new_labels = new_labels.repartition(n_part, "vid").transform(flat_checkpoint)
         changed_df = (
             new_labels.alias("a")
             .join(labels.alias("b"), "vid")
             .where(F.col("a.label") != F.col("b.label"))
             .select("vid")
-            .localCheckpoint(eager=True)
+            .transform(flat_checkpoint)
         )
         changed = changed_df.count()
         # full-state fingerprint for the period-2 oscillation detector

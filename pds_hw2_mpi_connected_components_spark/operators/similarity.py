@@ -80,6 +80,44 @@ def lsh_signatures(
     return emb.select(F.col(id_col).alias("id"), bucket_of("embedding").alias("bucket"))
 
 
+#: Seed stride between LSH tables: a large prime so per-table hyperplane
+#: index streams (seed + t * stride + idx) never overlap for sane dims.
+LSH_TABLE_SEED_STRIDE = 1_000_003
+
+
+def lsh_signatures_tables(
+    emb: DataFrame,
+    n_planes: int = 12,
+    seed: int = 7,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, table, bucket): one sign-LSH signature per table, each table
+    with independent deterministic hyperplanes (seed + t * stride). ALL
+    tables' buckets come from ONE stacked matmul per Arrow batch — the
+    per-row Python cost is identical to the single-table path."""
+    dim = len(emb.select("embedding").first()["embedding"])
+    stacked = np.concatenate(
+        [
+            _hyperplane(dim, n_planes, seed + t * LSH_TABLE_SEED_STRIDE)
+            for t in range(n_tables)
+        ]
+    )  # (n_tables * n_planes, dim)
+    weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+
+    @F.pandas_udf("array<long>")
+    def buckets_of(v: pd.Series) -> pd.Series:
+        m = np.stack(v.apply(np.asarray, dtype=np.float64))
+        signs = ((m @ stacked.T) > 0).reshape(len(m), n_tables, n_planes)
+        b = (signs.astype(np.uint64) @ weights).astype(np.int64)
+        return pd.Series(list(b))
+
+    return (
+        emb.select(F.col(id_col).alias("id"), buckets_of("embedding").alias("bs"))
+        .select("id", F.posexplode("bs").alias("table", "bucket"))
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     queries: DataFrame,
@@ -87,24 +125,58 @@ def ann_topk_lsh(
     n_planes: int = 12,
     seed: int = 7,
     id_col: str = "vec_id",
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's LSH bucket.
-    Returns (query_id, neighbor_id, sim_r, rank); recall against the exact
-    cosine_topk is measured in tests/test_similarity.py on clustered
-    embeddings, and the driver contract value-checks the full result against
-    a DuckDB oracle (__spark_entry__.py: ann_topk_lsh)."""
-    sig = lsh_signatures(emb, n_planes, seed, id_col)
-    base = emb.select(F.col(id_col).alias("id"), "embedding").join(sig, "id")
-    q = (
-        queries.select(F.col(id_col).alias("qid"))
-        .join(base.withColumnRenamed("id", "qid"), "qid")
-        .select("qid", F.col("embedding").alias("qe"), "bucket")
-    )
-    c = base.select(F.col("id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket")
-    scored = q.join(c, "bucket").select(
-        F.col("qid").alias("query_id"), "neighbor_id",
-        F.round(cosine_similarity(F.col("qe"), F.col("ce")), 4).alias("sim_r"),
-    )
+    """Approximate top-k: score only candidates that share an LSH bucket
+    with the query in at least one of ``n_tables`` independent tables — the
+    production recall knob (each extra table is another chance for a true
+    neighbor to collide; candidates are deduped before re-scoring, so cost
+    grows with the UNION of collisions, not the sum). Returns (query_id,
+    neighbor_id, sim_r, rank); recall against the exact cosine_topk is
+    measured in tests/test_similarity.py on clustered embeddings (including
+    monotone recall-vs-tables), and the driver contract value-checks the
+    n_tables=1 result against a DuckDB oracle (__spark_entry__.py:
+    ann_topk_lsh)."""
+    if n_tables == 1:
+        # single-table fast path: candidates carry their embeddings through
+        # the bucket join, no dedup or re-join needed
+        sig = lsh_signatures(emb, n_planes, seed, id_col)
+        base = emb.select(F.col(id_col).alias("id"), "embedding").join(sig, "id")
+        q = (
+            queries.select(F.col(id_col).alias("qid"))
+            .join(base.withColumnRenamed("id", "qid"), "qid")
+            .select("qid", F.col("embedding").alias("qe"), "bucket")
+        )
+        c = base.select(F.col("id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket")
+        scored = q.join(c, "bucket").select(
+            F.col("qid").alias("query_id"), "neighbor_id",
+            F.round(cosine_similarity(F.col("qe"), F.col("ce")), 4).alias("sim_r"),
+        )
+    else:
+        sig = lsh_signatures_tables(emb, n_planes, seed, n_tables, id_col)
+        q_sig = (
+            queries.select(F.col(id_col).alias("qid"))
+            .join(sig.withColumnRenamed("id", "qid"), "qid")
+        )
+        cand = (
+            q_sig.join(
+                sig.withColumnRenamed("id", "neighbor_id"), ["table", "bucket"]
+            )
+            .select("qid", "neighbor_id")
+            .distinct()  # union of per-table collisions, scored ONCE
+        )
+        qe = emb.select(F.col(id_col).alias("qid"), F.col("embedding").alias("qe"))
+        ce = emb.select(
+            F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("ce")
+        )
+        scored = (
+            cand.join(qe, "qid")
+            .join(ce, "neighbor_id")
+            .select(
+                F.col("qid").alias("query_id"), "neighbor_id",
+                F.round(cosine_similarity(F.col("qe"), F.col("ce")), 4).alias("sim_r"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("sim_r").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

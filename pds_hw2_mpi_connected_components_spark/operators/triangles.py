@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.graph_build import canonicalize
+from ..plans.flat import flat_checkpoint
 
 
 def _oriented(edges: DataFrame) -> DataFrame:
@@ -42,7 +43,7 @@ def _oriented(edges: DataFrame) -> DataFrame:
 
 def triangles_per_graph(edges: DataFrame) -> DataFrame:
     """All triangles as rows (a, b, c) with a < b < c (each exactly once)."""
-    o = _oriented(edges).localCheckpoint(eager=True)
+    o = _oriented(edges).transform(flat_checkpoint)
     e1 = o.alias("e1")
     e2 = o.alias("e2")
     wedges = e1.join(e2, F.col("e1.u") == F.col("e2.u")).where(

@@ -113,6 +113,27 @@ def build_graph(pages: DataFrame, include_dangling_targets: bool = True) -> Grap
     return GraphTables(vertices=vertices, edges=edges, degrees=degrees)
 
 
+def persist_graph_bucketed(
+    g: GraphTables, name: str, buckets: int | None = None
+) -> DataFrame:
+    """Persist the pipeline's edge table as a bucketBy(src)+sortBy(src)
+    parquet table and return the read-back DataFrame.
+
+    This closes the pipeline->analytics seam at 100 TB: build_graph's edge
+    output is hash-partitioned only WITHIN the building session, so a later
+    CC/PageRank job reading a plain parquet copy would re-shuffle the full
+    edge table to rebuild its hash(src) statics. Bucketing moves that
+    shuffle to write time once: every subsequent job's groupBy("src") /
+    join-on-src consumes the table exchange-free across sessions
+    (plans/bucketed.py; executed-plan-audited for the pipeline's own table
+    by tests/test_plan_audit.py::test_pipeline_persisted_edges_no_exchange).
+    """
+    from ..plans.bucketed import read_bucketed_edges, write_bucketed_edges
+
+    write_bucketed_edges(g.edges, name, buckets)
+    return read_bucketed_edges(g.edges.sparkSession, name)
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected view: union with reverse + distinct (SURVEY §2.3 U1/U2;
     reference expands (i,j)->(j,i) at mtx_to_bin.c:202-213 without dedup —

@@ -51,6 +51,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..plans.flat import flat_checkpoint
 
 _BANNER = "%%MatrixMarket"
 _HEADER_STRUCT = struct.Struct("<IIQ")  # nrows u32, ncols u32, nnz u64
@@ -208,7 +209,7 @@ def _materialize_or_raise(df: DataFrame) -> DataFrame:
     """Eagerly materialize the parse; task-side GraphFormatError (bounds /
     malformed entries) is re-raised as a clean driver-side GraphFormatError."""
     try:
-        return df.localCheckpoint(eager=True)
+        return df.transform(flat_checkpoint)
     except Exception as exc:  # noqa: BLE001 — Py4J wraps the task error
         _reraise_graph_format(exc)
         raise

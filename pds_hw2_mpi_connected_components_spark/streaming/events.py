@@ -70,6 +70,34 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked ingestion dedup — the shape an LLM-data pipeline runs on
+    its event/document firehose: keep the FIRST arrival of each
+    (keys..., event-time window) and drop re-deliveries. Output: (ws, keys...),
+    one row per distinct key-window.
+
+    State stays bounded at 100 TB because the dedup subset includes the
+    window() struct, which carries the event-time watermark metadata: state
+    for windows older than the watermark is evicted, so the operator holds
+    ~|distinct keys per watermark horizon| rows, not the full history. Rows
+    are emitted on first arrival (append mode needs no watermark close),
+    and because only the key columns are projected, the result is
+    deterministic regardless of arrival order — equal to the batch
+    DISTINCT the DuckDB oracle computes (__spark_entry__.py:
+    events_dedup_stream)."""
+    keyed = (
+        events.withWatermark("ts", watermark)
+        .select(F.window("ts", window).alias("w"), *keys)
+        .dropDuplicates(["w", *keys])
+    )
+    return keyed.select(F.col("w.start").alias("window_start"), *keys)
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     """Drive a streaming query over a bounded source to completion; returns
     the query (caller reads `SELECT * FROM {name}` and stops it)."""

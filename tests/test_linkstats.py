@@ -108,6 +108,89 @@ def test_k_core_vs_python(spark, name, k):
         assert metrics[-1]["edges"] == metrics[-2]["edges"]
 
 
+def python_coreness(pairs):
+    """Sequential peel oracle: core number = the threshold-1 at which the
+    vertex is removed when peeling with an ever-growing threshold."""
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = {v: len(ns) for v, ns in adj.items()}
+    core = {}
+    k = 1
+    while alive:
+        mn = min(alive.values())
+        if mn >= k:
+            k = mn + 1
+        victims = [v for v, d in alive.items() if d < k]
+        for v in victims:
+            core[v] = k - 1
+            del alive[v]
+        for v in victims:
+            for u in adj[v]:
+                if u in alive:
+                    alive[u] -= 1
+    return core
+
+
+def _random_pairs(seed=42, n=60, m=150):
+    import random
+
+    rng = random.Random(seed)
+    return list({(a, b) for a, b in (
+        (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+    ) if a != b})
+
+
+CORENESS_GRAPHS = dict(KCORE_GRAPHS, random60=_random_pairs())
+
+
+@pytest.mark.parametrize("name", sorted(CORENESS_GRAPHS))
+def test_coreness_vs_python(spark, name):
+    from pds_hw2_mpi_connected_components_spark.operators.kcore import coreness
+
+    pairs = CORENESS_GRAPHS[name]
+    out, metrics = coreness(make_edges(spark, pairs))
+    got = {r["vid"]: r["coreness"] for r in out.collect()}
+    assert got == python_coreness(pairs), name
+    assert metrics[-1]["converged"] is True
+
+
+def test_coreness_isolated_vertices(spark):
+    from pds_hw2_mpi_connected_components_spark.operators.kcore import coreness
+
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    vertices = spark.createDataFrame([(i,) for i in range(6)], "vid long")
+    out, _ = coreness(make_edges(spark, pairs), vertices=vertices)
+    got = {r["vid"]: r["coreness"] for r in out.collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 3: 0, 4: 0, 5: 0}
+
+
+@pytest.mark.parametrize("k", [2, 3, 4])
+def test_k_core_equals_coreness_filter(spark, k):
+    """The decomposition refines k_core: k-core == {v : coreness(v) >= k}."""
+    from pds_hw2_mpi_connected_components_spark.operators.kcore import coreness
+
+    pairs = _random_pairs(seed=7)
+    survivors, _ = k_core(make_edges(spark, pairs), k=k)
+    via_kcore = {r["vid"] for r in survivors.collect()}
+    out, _ = coreness(make_edges(spark, pairs))
+    via_coreness = {r["vid"] for r in out.where(f"coreness >= {k}").collect()}
+    assert via_kcore == via_coreness
+
+
+def test_k_core_nonconvergence_flagged(spark):
+    """max_iter exhaustion is loud: converged=False in the final metrics
+    entry plus a RuntimeWarning (the result is a superset of the k-core)."""
+    # long path: threshold-2 peeling strips one endpoint pair per round
+    pairs = [(i, i + 1) for i in range(10)]
+    with pytest.warns(RuntimeWarning, match="superset"):
+        _, metrics = k_core(make_edges(spark, pairs), k=2, max_iter=2)
+    assert metrics[-1]["converged"] is False
+
+
 def python_lcc(pairs):
     adj = {}
     for a, b in pairs:

@@ -177,14 +177,8 @@ def test_bucketed_edges_no_exchange(no_aqe, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bucketed_edges_test")
 
 
-def test_hits_iteration_exchange_budget(no_aqe):
-    """The hits docstring's budget: exactly TWO data shuffles per iteration
-    (groupBy(dst) for the auth half-step, groupBy(src) for the hub
-    half-step — the two-matvec floor). The edge-vs-scores joins, the
-    vertices left-joins, and the norm/delta aggregation are all
-    exchange-free over the flat pre-partitioned statics."""
-    spark = no_aqe
-    n_part = 8
+def _hits_statics(spark, n_part=8):
+    """Replicates operators/hits.py's static-state construction."""
     edges = (
         spark.range(2000)
         .select((F.col("id") % 211).alias("src"), ((F.col("id") * 7 + 3) % 211).alias("dst"))
@@ -197,41 +191,168 @@ def test_hits_iteration_exchange_budget(no_aqe):
     )
     e_by_src = edges.select("src", "dst").repartition(n_part, "src").localCheckpoint(eager=True)
     e_by_dst = e_by_src.repartition(n_part, "dst").localCheckpoint(eager=True)
+    return vertices, e_by_src, e_by_dst
+
+
+def test_hits_iteration_exchange_budget(no_aqe):
+    """The hits docstring's budget: exactly TWO data shuffles per iteration
+    (groupBy(dst) for the auth half-step, groupBy(src) for the hub
+    half-step — the two-matvec floor). Audits the OPERATOR'S OWN half-step
+    builders (operators/hits.auth_half_step / hub_half_step — the same
+    functions hits() calls), so a plan regression inside the operator (lost
+    hint, rebuilt static, extra repartition) fails here."""
+    from pds_hw2_mpi_connected_components_spark.operators.hits import (
+        auth_half_step,
+        hub_half_step,
+    )
+
+    spark = no_aqe
+    n_part = 8
+    vertices, e_by_src, e_by_dst = _hits_statics(spark, n_part)
     hubs = vertices.select("vid", F.lit(0.1).alias("hub"))
 
     # auth half-step: ONE shuffle (the groupBy(dst) aggregation)
-    a_contrib = (
-        e_by_src.join(hubs.hint("shuffle_hash"), e_by_src.src == hubs.vid)
-        .select("dst", (F.col("hub") * F.lit(1.0)).alias("w"))
-        .groupBy("dst").agg(F.sum("w").alias("s"))
-    )
-    auths = vertices.join(a_contrib, vertices.vid == a_contrib.dst, "left").select(
-        "vid", F.coalesce("s", F.lit(0.0)).alias("auth")
-    )
-    assert shuffle_exchanges(auths) == 1
-    auths = auths.repartition(n_part, "vid").localCheckpoint(eager=True)
+    auths_plan = auth_half_step(vertices, e_by_src, hubs, 1.0)
+    assert shuffle_exchanges(auths_plan) == 1
+    auths = auths_plan.repartition(n_part, "vid").localCheckpoint(eager=True)
 
     # hub half-step: ONE shuffle (the groupBy(src) aggregation)
-    h_contrib = (
-        e_by_dst.join(auths.hint("shuffle_hash"), e_by_dst.dst == auths.vid)
-        .select("src", (F.col("auth") * F.lit(1.0)).alias("w"))
-        .groupBy("src").agg(F.sum("w").alias("s"))
-    )
-    new_hubs = vertices.join(h_contrib, vertices.vid == h_contrib.src, "left").select(
-        "vid", F.coalesce("s", F.lit(0.0)).alias("hub")
-    )
-    assert shuffle_exchanges(new_hubs) == 1
-    new_hubs = new_hubs.repartition(n_part, "vid").localCheckpoint(eager=True)
+    hub_plan = hub_half_step(vertices, e_by_dst, auths, 1.0)
+    assert shuffle_exchanges(hub_plan) == 1
 
-    # combined norm + delta action: the two co-partitioned joins add ZERO
-    # shuffles; the only exchange in the whole plan is the global agg's
-    # single-partition gather of per-partition partials (O(n_part) rows,
-    # not data-scale — every driver-side scalar pays it).
+    # the observed-metrics variant hits() builds after iteration 1: the
+    # current- and previous-auth joins feeding the norm+delta observation
+    # are hash(vid)-co-partitioned, so the WHOLE iteration plan still holds
+    # at the two-shuffle floor (one already spent in auths above).
     prev_auth = auths.select("vid", F.col("auth").alias("pa")).localCheckpoint(eager=True)
-    joined2 = new_hubs.join(auths, "vid").join(prev_auth, "vid")
-    assert shuffle_exchanges(joined2) == 0
-    stats = joined2.agg(
-        F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("hn"),
-        F.sum(F.abs(F.col("auth") - F.col("pa"))).alias("delta"),
+    observed_plan = (
+        hub_plan.join(auths.hint("shuffle_hash"), "vid")
+        .join(prev_auth.hint("shuffle_hash"), "vid")
+        .select("vid", "hub")
     )
-    assert shuffle_exchanges(stats) == 1  # the single-partition gather only
+    assert shuffle_exchanges(observed_plan) == 1  # still just the groupBy(src)
+
+
+def test_hits_jobs_per_iteration(no_aqe):
+    """The round-5 driver-action budget: each hits() iteration launches
+    exactly JOBS_PER_ITERATION (=2) Spark jobs — the two half-step
+    localCheckpoint materializations; norms and the convergence delta ride
+    those jobs as observed metrics, with no separate .collect() scalar
+    actions. Measured as the job-count delta between max_iter=1 and
+    max_iter=3 runs (setup jobs cancel out)."""
+    from pds_hw2_mpi_connected_components_spark.operators.hits import (
+        JOBS_PER_ITERATION,
+        hits,
+    )
+
+    spark = no_aqe
+    sc = spark.sparkContext
+    edges = (
+        spark.range(2000)
+        .select((F.col("id") % 211).alias("src"), ((F.col("id") * 7 + 3) % 211).alias("dst"))
+        .where("src != dst").distinct().localCheckpoint(eager=True)
+    )
+
+    def jobs_for(max_iter: int, group: str) -> int:
+        sc.setJobGroup(group, f"hits max_iter={max_iter}")
+        try:
+            out, metrics = hits(edges, tol=0.0, max_iter=max_iter)
+            assert len(metrics) == max_iter
+        finally:
+            sc.setJobGroup("hits_audit_done", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j1 = jobs_for(1, "hits_audit_1")
+    j3 = jobs_for(3, "hits_audit_3")
+    assert j3 - j1 == 2 * JOBS_PER_ITERATION
+
+
+def test_hits_max_iter_guard(spark):
+    """max_iter < 1 is a contract violation: loud ValueError, not an
+    AttributeError from an undefined previous-iteration vector."""
+    from pds_hw2_mpi_connected_components_spark.operators.hits import hits
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="max_iter"):
+        hits(edges, max_iter=0)
+
+
+def test_pipeline_persisted_edges_no_exchange(no_aqe):
+    """Round-5 seam closure: the PIPELINE'S OWN persisted edge table (pages
+    -> build_graph -> persist_graph_bucketed) must read back exchange-free
+    into the iterative operators' src-keyed plans — not just a hand-made
+    bucketed table (test_bucketed_edges_no_exchange). Asserts the two plan
+    shapes the analytics jobs actually run: degree/out-deg aggregation and
+    the PageRank-style ranks join."""
+    from pds_hw2_mpi_connected_components_spark.sources.datagen import generate_pages
+    from pds_hw2_mpi_connected_components_spark.sources.graph_build import (
+        build_graph,
+        persist_graph_bucketed,
+    )
+
+    spark = no_aqe
+    pages = generate_pages(spark, 200, n_components=4, num_partitions=4)
+    g = build_graph(pages)
+    try:
+        back = persist_graph_bucketed(g, "pipeline_bucketed_edges_test", buckets=8)
+        assert shuffle_exchanges(back.groupBy("src").agg(F.count("*"))) == 0
+        ranks = (
+            g.vertices.select("vid", F.lit(0.1).alias("rank"))
+            .repartition(8, "vid").localCheckpoint(eager=True)
+        )
+        j = back.join(ranks.hint("shuffle_hash"), back.src == ranks.vid)
+        assert shuffle_exchanges(j) == 0
+        # and the persisted rows are exactly the pipeline's edge set
+        assert (
+            back.select("src", "dst").exceptAll(g.edges.select("src", "dst")).count() == 0
+            and g.edges.select("src", "dst").exceptAll(back.select("src", "dst")).count() == 0
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pipeline_bucketed_edges_test")
+
+
+def test_flat_checkpoint_bounds_stats_and_keeps_partitioning(spark):
+    """plans/flat.flat_checkpoint (round 5): Dataset.checkpoint in pyspark
+    4.1.2 carries originStats, so iterate-vs-iterate joins COMPOUND size
+    estimates geometrically — by iteration ~20 the driver livelocks
+    multiplying million-digit BigIntegers inside stats estimation
+    (measured: a 7-vertex HITS run could not finish 40 iterations).
+    Pins (a) the digit bound after 10 self-join checkpoint rounds, (b)
+    that the reflection path works (no fallback RuntimeWarning), and
+    (c) hash-partitioning preservation (exchange count of a co-partitioned
+    join is identical to the plain localCheckpoint's)."""
+    import re
+    import warnings
+
+    from pds_hw2_mpi_connected_components_spark.plans.flat import flat_checkpoint
+
+    df = spark.createDataFrame([(i,) for i in range(8)], "vid long")
+
+    def digits(d):
+        s = d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return len(str(s))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # (b): no fallback
+        x = flat_checkpoint(df.repartition(4, "vid"))
+        base = digits(x)
+        for _ in range(10):
+            x = flat_checkpoint(
+                x.join(x.withColumnRenamed("vid", "v2"), x.vid == F.col("v2"))
+                .select("vid")
+            )
+        assert digits(x) == base  # (a): plain checkpoints double per round
+        assert x.count() == 8
+
+        def exchanges(mk):
+            a = mk(df.repartition(4, "vid"))
+            b = mk(df.repartition(4, "vid"))
+            plan = (
+                a.join(b.hint("shuffle_hash"), "vid")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            return len(re.findall(r"Exchange hashpartitioning", plan))
+
+        assert exchanges(flat_checkpoint) == exchanges(
+            lambda d: d.localCheckpoint(eager=True)
+        )  # (c)

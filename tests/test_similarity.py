@@ -85,6 +85,50 @@ def test_ann_topk_lsh_recall_vs_exact(emb, spark):
         assert true_sim[(r["query_id"], r["neighbor_id"])] == pytest.approx(r["sim_r"], abs=1e-9)
 
 
+def test_ann_topk_lsh_multi_table_recall_monotone(emb, spark):
+    """The production recall knob: candidates are the UNION of bucket
+    collisions across independent tables, so recall@k is monotone
+    non-decreasing in n_tables — and strictly better than a single table on
+    this fixture with few planes (12 planes over 16 dims make single-table
+    misses common). Values stay exact re-scores; returned pairs dedupe to
+    one row per (query, neighbor)."""
+    k, n_q = 10, 10
+    queries = emb.where(F.col("vec_id") < n_q).select("vec_id")
+    exact = _exact_topk_numpy(k=k, n_q=n_q)
+
+    def recall_at(n_tables: int) -> float:
+        rows = ann_topk_lsh(
+            emb, queries, k=k, n_planes=12, seed=7, n_tables=n_tables
+        ).collect()
+        pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs)), "duplicate (query, neighbor) rows"
+        got: dict[int, set] = {q: set() for q in range(n_q)}
+        for q, nb in pairs:
+            got[q].add(nb)
+        return sum(len(got[q] & exact[q]) for q in range(n_q)) / (k * n_q)
+
+    recalls = [recall_at(t) for t in (1, 2, 4)]
+    assert recalls == sorted(recalls), f"recall not monotone in n_tables: {recalls}"
+    assert recalls[-1] > recalls[0], f"4 tables no better than 1: {recalls}"
+    assert recalls[-1] >= 0.8, f"recall@{k} with 4 tables = {recalls[-1]}"
+
+
+def test_lsh_tables_first_table_matches_single(emb, spark):
+    """Table 0 of the multi-table signature generator uses seed + 0*stride,
+    i.e. the SAME hyperplanes as the single-table path — the n_tables knob
+    extends the operator without changing its n_tables=1 semantics."""
+    from pds_hw2_mpi_connected_components_spark.operators.similarity import (
+        lsh_signatures_tables,
+    )
+
+    single = {r["id"]: r["bucket"] for r in lsh_signatures(emb, 8, 7).collect()}
+    multi = {
+        r["id"]: r["bucket"]
+        for r in lsh_signatures_tables(emb, 8, 7, n_tables=3).where("table = 0").collect()
+    }
+    assert multi == single
+
+
 def test_embedding_near_dups_vs_bruteforce(emb, spark):
     """Precision must be exact (pairs are re-scored), recall bounded below:
     near-identical vectors (same cluster, sim >= 0.95) collide in most

@@ -73,3 +73,37 @@ def test_session_window_stream(spark, events_dir):
         .groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions")).collect()
     }
     assert n_sessions_per_user == want
+
+
+def test_dedup_stream_matches_batch_distinct(spark, events_dir):
+    """Watermarked streaming dedup over a REPLAYED stream (each file fed
+    twice => genuine re-deliveries across micro-batches) equals the batch
+    DISTINCT of the key-window tuples: first arrival survives, duplicates
+    drop, and projecting only key columns makes the result order-free."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from pds_hw2_mpi_connected_components_spark.streaming.events import dedup_stream
+
+    twice = _tmp.mkdtemp(prefix="events_dedup_")
+    _sh.copy(f"{SF_DIR}/events.parquet", f"{twice}/part-0.parquet")
+    _sh.copy(f"{SF_DIR}/events.parquet", f"{twice}/part-1.parquet")
+    try:
+        stream = dedup_stream(read_events_stream(spark, twice))
+        q = run_stream_to_memory(stream, "dedup_out", mode="append")
+        got = {
+            (r["window_start"], r["user_id"], r["event_type"])
+            for r in spark.sql("SELECT * FROM dedup_out").collect()
+        }
+        q.stop()
+    finally:
+        _sh.rmtree(twice, ignore_errors=True)
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        (r["ws"], r["user_id"], r["event_type"])
+        for r in batch.select(
+            F.window("ts", "5 minutes").getField("start").alias("ws"),
+            "user_id", "event_type",
+        ).distinct().collect()
+    }
+    assert got == want
