@@ -65,6 +65,7 @@ from pds_hw2_mpi_connected_components_spark.sources.doc_edges import (
 )
 from pds_hw2_mpi_connected_components_spark.sources.extract import extract_links_df
 from pds_hw2_mpi_connected_components_spark.sources.graph_build import symmetrize
+from pds_hw2_mpi_connected_components_spark.plans.flat import flat_checkpoint
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,7 +76,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: connected components of the sf0.001 document link graph,
     returned as (label, size) — component count is the row count."""
     sf = "/root/testdata/sf0.001"
-    edges = doc_edges_global(spark, sf).localCheckpoint(eager=True)
+    edges = doc_edges_global(spark, sf).transform(flat_checkpoint)
     labels, _ = connected_components(edges, vertices=doc_vertices(spark, sf))
     return (
         labels.groupBy("label")
@@ -161,7 +162,7 @@ def _q_mtx_cc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so the file is fully consumed before the finally-unlink runs.
         edges, _header = read_mtx(spark, path)
         labels, _ = connected_components(
-            edges.localCheckpoint(eager=True), vertices=doc_vertices(spark, sf_dir)
+            edges.transform(flat_checkpoint), vertices=doc_vertices(spark, sf_dir)
         )
     finally:
         os.unlink(path)
@@ -231,6 +232,56 @@ def _pagerank_oracle_sql(k: int = _PR_ITERS, alpha: float = 0.85) -> str:
         (({one} - {a}) / (SELECT n FROM nn) + {a} * (SELECT dang FROM d{i}) / (SELECT n FROM nn))
         + {a} * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
         FROM v LEFT JOIN c{i} c ON v.vid = c.vid)""")
+    parts.append(f"\nSELECT vid, round(rank, 8) AS rank_r FROM r{k}")
+    return "".join(parts)
+
+
+_PPR_ITERS = 20   # fixed iteration count shared by the Spark query and the oracle
+_PPR_SEEDS = 64   # seed set: the global graph's hub documents (doc_id < 64)
+
+
+def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/pagerank.pagerank(reset=...)) seeded
+    at the global graph's hub documents: teleport + dangling mass land on
+    the seeds. tol=0.0 pins exactly _PPR_ITERS iterations so the unrolled
+    DuckDB oracle computes the identical value sequence; round(8) absorbs
+    summation-order noise."""
+    seeds = doc_vertices(spark, sf_dir).where(F.col("vid") < _PPR_SEEDS)
+    ranks, _ = pagerank(
+        doc_edges_global(spark, sf_dir),
+        vertices=doc_vertices(spark, sf_dir),
+        tol=0.0,
+        max_iter=_PPR_ITERS,
+        reset=seeds,
+    )
+    return ranks.select("vid", F.round("rank", 8).alias("rank_r"))
+
+
+def _ppr_oracle_sql(k: int = _PPR_ITERS, alpha: float = 0.85) -> str:
+    """Seeded power iteration unrolled as chained CTEs; mirrors the seeded
+    branch of operators/pagerank.py float-op-for-float-op:
+    ((1-a) + a*dang) * p + a*contrib with p uniform over the seeds."""
+    a = f"CAST({alpha!r} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    parts = [f"""WITH e AS MATERIALIZED ({EDGES_GLOBAL_SQL}),
+ deg AS MATERIALIZED (SELECT src, {one} / count(*) AS inv_deg FROM e GROUP BY src),
+ ns AS MATERIALIZED (SELECT count(*) AS n FROM documents WHERE doc_id < {_PPR_SEEDS}),
+ p AS MATERIALIZED (SELECT doc_id AS vid,
+        CASE WHEN doc_id < {_PPR_SEEDS} THEN {one} / (SELECT n FROM ns)
+             ELSE CAST(0.0 AS DOUBLE) END AS p
+        FROM documents),
+ r0 AS MATERIALIZED (SELECT vid, p AS rank FROM p)"""]
+    for i in range(k):
+        parts.append(f""",
+ d{i} AS MATERIALIZED (SELECT coalesce(sum(r.rank), CAST(0.0 AS DOUBLE)) AS dang
+          FROM r{i} r LEFT JOIN deg ON r.vid = deg.src WHERE deg.src IS NULL),
+ c{i} AS MATERIALIZED (SELECT e.dst AS vid, sum(r.rank * deg.inv_deg) AS contrib
+          FROM r{i} r JOIN e ON e.src = r.vid JOIN deg ON deg.src = e.src
+          GROUP BY e.dst),
+ r{i + 1} AS MATERIALIZED (SELECT p.vid,
+        (({one} - {a}) + {a} * (SELECT dang FROM d{i})) * p.p
+        + {a} * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
+        FROM p LEFT JOIN c{i} c ON p.vid = c.vid)""")
     parts.append(f"\nSELECT vid, round(rank, 8) AS rank_r FROM r{k}")
     return "".join(parts)
 
@@ -308,15 +359,83 @@ _KCORE_LEVELS = 18  # unroll depth; peel depth <= block size (16) on this graph
 
 
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vertices of the 3-core of the blocked doc graph. The Spark side peels
-    to a FIXPOINT; the oracle unrolls _KCORE_LEVELS peel rounds — peeling is
-    monotone, so any unroll depth >= the fixpoint depth gives the same set
-    (depth <= 16 here: each non-converged 16-doc block loses >= 1 vertex
-    per round)."""
-    from pds_hw2_mpi_connected_components_spark.operators.kcore import k_core
+    """Vertices of the 3-core of the blocked doc graph, computed as a FILTER
+    of the full core decomposition (k-core == {v : coreness(v) >= k}) — so
+    the driver checks the decomposition's consistency with the standalone
+    peel oracle below; operators/kcore.k_core itself is oracle-checked in
+    tests/test_linkstats.py (python peel + equality with this filter). The
+    Spark side peels to a FIXPOINT; the oracle unrolls _KCORE_LEVELS peel
+    rounds — peeling is monotone, so any unroll depth >= the fixpoint depth
+    gives the same set (depth <= 16 here: each non-converged 16-doc block
+    loses >= 1 vertex per round)."""
+    from pds_hw2_mpi_connected_components_spark.operators.kcore import coreness
 
-    survivors, _ = k_core(doc_edges_blocked(spark, sf_dir), k=_KCORE_K)
-    return survivors
+    out, _ = coreness(doc_edges_blocked(spark, sf_dir))
+    return out.where(F.col("coreness") >= _KCORE_K).select("vid")
+
+
+_CORENESS_T = 15   # blocked graph: 16-doc blocks => max degree (and coreness) <= 15
+_CORENESS_R = 17   # peel depth per threshold <= 16 (>= 1 removal/round per block)
+
+
+def _q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition of the blocked doc graph: (vid, coreness) for
+    every document (isolated docs -> 0). Spark side: the delta-peeling
+    operators/kcore.coreness; oracle: nested unrolled peel — the t-core is
+    computed from the (t-1)-core's edges (cores are nested), _CORENESS_R
+    rounds per threshold (idempotent once converged), coreness = max level
+    whose survivor set contains the vertex."""
+    from pds_hw2_mpi_connected_components_spark.operators.kcore import coreness
+
+    out, _ = coreness(
+        doc_edges_blocked(spark, sf_dir), vertices=doc_vertices(spark, sf_dir)
+    )
+    return out
+
+
+def _q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (operators/paths.bfs_hops) over the
+    undirected blocked doc graph, seeded at every block-leader document
+    (doc_id % 16 == 0): (vid, hops) for every reachable vertex. Hops are
+    bounded by 15 (components live inside 16-doc blocks), so the DuckDB
+    recursive-CTE oracle terminates at depth 16."""
+    from pds_hw2_mpi_connected_components_spark.operators.paths import bfs_hops
+
+    seeds = doc_vertices(spark, sf_dir).where(F.col("vid") % 16 == 0)
+    out, _ = bfs_hops(doc_edges_blocked(spark, sf_dir), seeds)
+    return out
+
+
+def _coreness_oracle_sql(t_max: int = _CORENESS_T, rounds: int = _CORENESS_R) -> str:
+    parts = [f"""WITH e AS MATERIALIZED ({EDGES_BLOCKED_SQL}),
+ c1 AS MATERIALIZED (
+   SELECT src, dst FROM (SELECT src, dst FROM e
+                         UNION SELECT dst AS src, src AS dst FROM e) z
+   WHERE src <> dst)"""]
+    # threshold 1 removes nobody from an edge-derived vertex set: the 1-core
+    # edge table IS the symmetrized graph. Higher cores peel the previous
+    # level's survivors (t-core is a subgraph of the (t-1)-core).
+    level_final = {1: "c1"}
+    last = "c1"
+    for t in range(2, t_max + 1):
+        for r in range(1, rounds + 1):
+            parts.append(f""",
+ v{t}_{r} AS MATERIALIZED (SELECT src AS vid FROM {last}
+     GROUP BY src HAVING count(*) >= {t}),
+ c{t}_{r} AS MATERIALIZED (SELECT x.src, x.dst FROM {last} x
+     JOIN v{t}_{r} a ON x.src = a.vid JOIN v{t}_{r} b ON x.dst = b.vid)""")
+            last = f"c{t}_{r}"
+        level_final[t] = last
+    union = "\n   UNION ALL ".join(
+        f"SELECT DISTINCT src AS vid, {t} AS t FROM {tbl}"
+        for t, tbl in level_final.items()
+    )
+    parts.append(f""",
+ levels AS MATERIALIZED ({union})
+ SELECT d.doc_id AS vid, CAST(coalesce(max(l.t), 0) AS BIGINT) AS coreness
+ FROM documents d LEFT JOIN levels l ON l.vid = d.doc_id
+ GROUP BY d.doc_id""")
+    return "".join(parts)
 
 
 def _kcore_oracle_sql(k: int = _KCORE_K, levels: int = _KCORE_LEVELS) -> str:
@@ -556,6 +675,38 @@ def _q_events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup (streaming/events.dedup_stream): first
+    arrival per (user_id, event_type, 5-min window) survives, re-deliveries
+    drop. Output projects only the key columns, so the bounded stream's
+    result is order-independent and equals the batch DISTINCT the oracle
+    computes — a driver-checked value contract for streaming dedup state."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pds_hw2_mpi_connected_components_spark.streaming.events import (
+        dedup_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="events_dedup_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/part-0.parquet")
+    stream = dedup_stream(read_events_stream(spark, src_dir))
+    name = f"ev_dedup_{uuid.uuid4().hex[:8]}"
+    # append mode: dedup emits each first-seen key immediately — no
+    # watermark close needed for a bounded replay
+    q = run_stream_to_memory(stream, name, mode="append")
+    q.stop()
+    out = spark.table(name)
+    return out.select(
+        F.unix_timestamp("window_start").cast("long").alias("ws"),
+        "user_id",
+        "event_type",
+    )
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -633,9 +784,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_blocked": _q_triangles,
         "labelprop2_blocked": _q_labelprop2,
         "pagerank_global": _q_pagerank,
+        "ppr_hubs_global": _q_ppr,
         "hits_global": _q_hits,
         "clustering_coeff": _q_clustering,
         "kcore3_blocked": _q_kcore,
+        "coreness_blocked": _q_coreness,
+        "bfs_hops_blocked": _q_bfs_hops,
         "extract_text": _q_extract_text,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard,
@@ -656,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "events_tumbling": _q_events_tumbling,
         "events_tumbling_stream": _q_events_tumbling_stream,
+        "events_dedup_stream": _q_events_dedup_stream,
         "events_sessionize": _q_events_sessionize,
         "cube_orders": _q_cube_orders,
         "pivot_events": _q_pivot_events,
@@ -787,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
             FROM v LEFT JOIN l1 ON v.vid = l1.vid LEFT JOIN t2 ON v.vid = t2.vid
         """,
         "pagerank_global": _pagerank_oracle_sql(),
+        "ppr_hubs_global": _ppr_oracle_sql(),
         "hits_global": _hits_oracle_sql(),
         "clustering_coeff": f"""
             WITH e AS MATERIALIZED ({EDGES_BLOCKED_SQL}),
@@ -812,6 +968,22 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tv ON d.vid = tv.vid
         """,
         "kcore3_blocked": _kcore_oracle_sql(),
+        "coreness_blocked": _coreness_oracle_sql(),
+        # multi-source BFS: min hop distance from the block-leader seeds;
+        # depth-bounded at 16 (components are confined to 16-doc blocks) so
+        # the recursion terminates despite cycles
+        "bfs_hops_blocked": f"""
+            WITH RECURSIVE e AS ({EDGES_BLOCKED_SQL}),
+            sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            walk(v, h) AS (
+                SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+                WHERE doc_id % 16 = 0
+                UNION
+                SELECT s.dst, w.h + 1 FROM walk w JOIN sym s ON s.src = w.v
+                WHERE w.h < 16
+            )
+            SELECT v AS vid, min(h) AS hops FROM walk GROUP BY v
+        """,
         "extract_text": r"""
             SELECT doc_id,
                    trim('Doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
@@ -1125,6 +1297,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "events_dedup_stream": """
+            SELECT DISTINCT
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS ws,
+                   user_id, event_type
+            FROM events
         """,
         "events_sessionize": """
             WITH x AS (

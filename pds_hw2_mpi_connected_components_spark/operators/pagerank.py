@@ -17,7 +17,7 @@ ranks computing the L1 delta AND the next iteration's dangling mass in a
 single pass). Enforced by tests/test_plan_audit.py. How:
 
 - every loop-static table is a FLAT, pre-partitioned LogicalRDD:
-  ``repartition(key).localCheckpoint(eager=True)``. Two measured pyspark
+  ``repartition(key).transform(flat_checkpoint)``. Two measured pyspark
   4.1.2 facts drive this (see tests/test_plan_audit.py):
   1. localCheckpoint PRESERVES the child's hash partitioning (the LogicalRDD
      captures outputPartitioning), so joins/aggs on the checkpointed table
@@ -29,7 +29,7 @@ single pass). Enforced by tests/test_plan_audit.py. How:
      (join + repartition) every single iteration because of this. Flat
      LogicalRDDs have no lineage to dedup and need no cache lookup.
 - per iteration, new_ranks is materialized with
-  ``repartition(n_part, "vid").localCheckpoint(eager=True)``; the
+  ``repartition(n_part, "vid").transform(flat_checkpoint)``; the
   repartition is ELIDED by the planner when the join output is already
   hash(vid, n_part) (the normal case) and only actually shuffles when AQE
   re-planned the join output, so the steady-state budget is the groupBy
@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.checkpoint import CheckpointStore
+from ..plans.flat import flat_checkpoint
 
 
 def pagerank(
@@ -64,8 +65,19 @@ def pagerank(
     max_iter: int = 100,
     checkpoint: Optional[CheckpointStore] = None,
     salt_buckets: int = 0,
+    reset: Optional[DataFrame] = None,
 ) -> tuple[DataFrame, list[dict]]:
-    """Returns ((vid, rank), metrics). ``edges`` directed (src,dst), deduped."""
+    """Returns ((vid, rank), metrics). ``edges`` directed (src,dst), deduped.
+
+    ``reset``: optional (vid) seed set => PERSONALIZED PageRank
+    (TrustRank-style): teleport AND dangling mass go uniformly to the seeds
+    instead of all vertices — rank_{i+1}(v) = ((1-a) + a*dangling) * p(v)
+    + a * contrib(v) with p uniform over (seeds ∩ vertices). Ranks still
+    sum to 1; vertices unreachable from the seed set converge to 0. The
+    seed set is broadcast (PPR seed sets are small by construction — hub
+    pages, trusted domains); everything else — statics, per-iteration
+    shuffle budget (ONE edge-scale groupBy(dst)), the single combined
+    delta+dangling action — is shared with the uniform path unchanged."""
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if vertices is None:
@@ -76,7 +88,7 @@ def pagerank(
         )
     # flat + hash(vid): see module docstring for why localCheckpoint, not persist
     vertices = (
-        vertices.select("vid").repartition(n_part, "vid").localCheckpoint(eager=True)
+        vertices.select("vid").repartition(n_part, "vid").transform(flat_checkpoint)
     )
     n = vertices.count()
     if n == 0:
@@ -88,30 +100,60 @@ def pagerank(
         edges.join(out_deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"))
         .repartition(n_part, "src")
-        .localCheckpoint(eager=True)
+        .transform(flat_checkpoint)
     )
     # static dangling-vertex set (broadcast in the loop); flag column for the
     # combined stats pass
     dangling_v = (
         vertices.join(out_deg, vertices.vid == out_deg.src, "left_anti")
         .select("vid", F.lit(1).alias("is_dangling"))
-        .localCheckpoint(eager=True)
+        .transform(flat_checkpoint)
     )
     n_dangling = dangling_v.count()
 
+    # personalized teleport vector: flat + hash(vid), same layout as the
+    # uniform-path vertices so every loop consumer stays co-partitioned
+    pvec = None
+    if reset is not None:
+        seeds = reset.select("vid").distinct()
+        n_seeds = seeds.join(vertices, "vid", "left_semi").count()
+        if n_seeds == 0:
+            raise ValueError(
+                "pagerank(reset=...): no seed vertex is present in the graph"
+            )
+        pvec = (
+            vertices.join(
+                F.broadcast(seeds.withColumn("is_seed", F.lit(1))), "vid", "left"
+            )
+            .select(
+                "vid",
+                F.when(F.col("is_seed") == 1, F.lit(1.0 / n_seeds))
+                .otherwise(F.lit(0.0))
+                .alias("p"),
+            )
+            .repartition(n_part, "vid")
+            .transform(flat_checkpoint)
+        )
+
+    ckpt_name = "pagerank" if reset is None else "pagerank_ppr"
     start_iter = 0
     ranks = None
     dangling = None
     if checkpoint is not None:
-        resumed = checkpoint.latest("pagerank")
+        resumed = checkpoint.latest(ckpt_name)
         if resumed is not None:
             start_iter, ranks = resumed
-            ranks = ranks.repartition(n_part, "vid").localCheckpoint(eager=True)
+            ranks = ranks.repartition(n_part, "vid").transform(flat_checkpoint)
             start_iter += 1
     if ranks is None:
-        # Project over the flat vertices: partitioning hash(vid) is preserved.
-        ranks = vertices.select("vid", F.lit(1.0 / n).alias("rank"))
-        dangling = n_dangling * (1.0 / n)  # uniform init: no action needed
+        if pvec is not None:
+            # seeded init: r0 = p (hash(vid) preserved by projection);
+            # initial dangling mass comes from the generic action below
+            ranks = pvec.select("vid", F.col("p").alias("rank"))
+        else:
+            # Project over the flat vertices: partitioning hash(vid) is preserved.
+            ranks = vertices.select("vid", F.lit(1.0 / n).alias("rank"))
+            dangling = n_dangling * (1.0 / n)  # uniform init: no action needed
     if dangling is None:
         dangling = (
             ranks.join(F.broadcast(dangling_v.select("vid")), "vid", "left_semi")
@@ -140,25 +182,39 @@ def pagerank(
         else:
             sums = joined.groupBy("dst").agg(F.sum("w").alias("in_w"))
 
-        base = (1.0 - alpha) / n + alpha * dangling / n
-        new_ranks = (
-            vertices.join(sums, vertices.vid == sums.dst, "left")
-            .select(
-                "vid",
-                (F.lit(base) + F.lit(alpha) * F.coalesce("in_w", F.lit(0.0))).alias("rank"),
+        if pvec is not None:
+            # seeded: teleport + dangling mass land on the seeds via p(v)
+            seed_base = (1.0 - alpha) + alpha * dangling
+            new_ranks = (
+                pvec.join(sums, pvec.vid == sums.dst, "left")
+                .select(
+                    "vid",
+                    (
+                        F.lit(seed_base) * F.col("p")
+                        + F.lit(alpha) * F.coalesce("in_w", F.lit(0.0))
+                    ).alias("rank"),
+                )
             )
-        )
+        else:
+            base = (1.0 - alpha) / n + alpha * dangling / n
+            new_ranks = (
+                vertices.join(sums, vertices.vid == sums.dst, "left")
+                .select(
+                    "vid",
+                    (F.lit(base) + F.lit(alpha) * F.coalesce("in_w", F.lit(0.0))).alias("rank"),
+                )
+            )
         if checkpoint is not None:
             # rows is n by construction (left join on the vertex table);
             # passing it avoids an extra scan. The parquet re-read is
             # unpartitioned: restore hash(vid) for the two consumers below.
-            new_ranks = checkpoint.write("pagerank", it, new_ranks, rows=n)
-            new_ranks = new_ranks.repartition(n_part, "vid").localCheckpoint(eager=True)
+            new_ranks = checkpoint.write(ckpt_name, it, new_ranks, rows=n)
+            new_ranks = new_ranks.repartition(n_part, "vid").transform(flat_checkpoint)
         else:
             # flat plan every iteration (plan growth + partitioning: see
             # module docstring). The repartition is a planner no-op while
             # the join output is already hash(vid, n_part).
-            new_ranks = new_ranks.repartition(n_part, "vid").localCheckpoint(eager=True)
+            new_ranks = new_ranks.repartition(n_part, "vid").transform(flat_checkpoint)
 
         # ONE action: L1 delta (convergence) + dangling mass of new_ranks
         # (needed next iteration). Both sides hash(vid): no shuffle.
@@ -178,7 +234,7 @@ def pagerank(
         dt = time.monotonic() - t0
         metrics.append({"iter": it, "l1_delta": delta, "dangling": dangling, "sec": dt})
         if checkpoint is not None:
-            checkpoint.log_metrics("pagerank", metrics[-1])
+            checkpoint.log_metrics(ckpt_name, metrics[-1])
         ranks = new_ranks
         if delta < tol:
             break

@@ -209,3 +209,68 @@ def test_labelprop_converged_flag_on_stable_graph(spark):
     _, metrics = label_propagation(sym, max_iter=10)
     assert metrics[-1]["converged"] is True
     assert metrics[-1]["changed"] == 0
+
+
+# -- personalized (seeded) PageRank ----------------------------------------
+
+def numpy_ppr(n, pairs, seeds, alpha=0.85, iters=200):
+    """Dense oracle: teleport + dangling mass uniform over the seed set."""
+    out_deg = np.zeros(n)
+    for a, b in pairs:
+        out_deg[a] += 1
+    p = np.zeros(n)
+    p[list(seeds)] = 1.0 / len(seeds)
+    r = p.copy()
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for a, b in pairs:
+            contrib[b] += r[a] / out_deg[a]
+        dangling = r[out_deg == 0].sum()
+        r = ((1 - alpha) + alpha * dangling) * p + alpha * contrib
+    return r
+
+
+def _seed_df(spark, seeds):
+    return spark.createDataFrame([(int(s),) for s in seeds], "vid long")
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_ppr_vs_numpy(spark, name):
+    n, pairs = CASES[name]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "vid long")
+    ranks, _ = pagerank(
+        make_edges(spark, pairs), vertices=vertices, tol=1e-10,
+        reset=_seed_df(spark, [0, 1]),
+    )
+    got = np.zeros(n)
+    for r in ranks.collect():
+        got[r["vid"]] = r["rank"]
+    want = numpy_ppr(n, pairs, [0, 1])
+    assert np.allclose(got, want, atol=1e-6), name
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_ppr_unreachable_gets_zero_mass(spark):
+    # seeds in island {0,1,2}: island {3,4,5} must converge to rank 0
+    n, pairs = CASES["two_islands"]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "vid long")
+    ranks, _ = pagerank(
+        make_edges(spark, pairs), vertices=vertices, tol=1e-12,
+        reset=_seed_df(spark, [0]),
+    )
+    got = {r["vid"]: r["rank"] for r in ranks.collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for v in (3, 4, 5):
+        assert got[v] == pytest.approx(0.0, abs=1e-9)
+    for v in (0, 1, 2):
+        assert got[v] > 0.1
+
+
+def test_ppr_empty_seed_intersection_raises(spark):
+    n, pairs = CASES["cycle6"]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "vid long")
+    with pytest.raises(ValueError, match="no seed vertex"):
+        pagerank(
+            make_edges(spark, pairs), vertices=vertices,
+            reset=_seed_df(spark, [99]),
+        )
