@@ -71,11 +71,31 @@ def _run_worker(master: str, n_pages: int) -> dict:
     return json.loads(lines[-1])
 
 
+def _dump_rejected(attempt, why, p_pre, p_mid, p_post, r2, r8) -> None:
+    """A rejected pair already paid for its worker runs — keep the raw
+    timings on disk (…_rejected_a{N}.json) instead of discarding them, so a
+    later adjudication can still inspect what the contaminated window did.
+    Never merged into the accepted-results artifact."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "BENCH", f"scaling_results_r5_rejected_a{attempt}.json")
+    with open(path, "w") as f:
+        json.dump({"attempt": attempt, "rejected": why,
+                   "probes": {"pre": p_pre, "mid": p_mid, "post": p_post},
+                   "runs": {"local[2]": r2, "local[8]": r8}}, f, indent=1)
+    print(f"kept rejected-pair evidence: {path}", flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-pages", type=int, default=N_PAGES_R4)
     ap.add_argument("--max-attempts", type=int, default=4)
     ap.add_argument("--retry-sleep", type=float, default=120.0)
+    ap.add_argument(
+        "--settle-sleep", type=float, default=0.0,
+        help="seconds to wait after each worker JVM exits before probing "
+             "(a probe taken in the teardown wake can read the host's own "
+             "recovery as quota noise and reject an otherwise-clean pair)",
+    )
     args = ap.parse_args()
 
     ensure_pages(args.n_pages)
@@ -91,6 +111,7 @@ def main() -> None:
             time.sleep(args.retry_sleep)
             continue
         r2 = _run_worker("local[2]", args.n_pages)
+        time.sleep(args.settle_sleep)
         p_mid = probe()
         ok_mid, dev_mid = probe_ok(p_mid)
         print(json.dumps({"attempt": attempt, "probe_mid": p_mid,
@@ -98,9 +119,11 @@ def main() -> None:
         if not ok_mid:
             attempt_log.append({"attempt": attempt, "rejected": "mid-probe",
                                 "dev": dev_mid})
+            _dump_rejected(attempt, "mid-probe", p_pre, p_mid, None, r2, None)
             time.sleep(args.retry_sleep)
             continue
         r8 = _run_worker("local[8]", args.n_pages)
+        time.sleep(args.settle_sleep)
         p_post = probe()
         ok_post, dev_post = probe_ok(p_post)
         print(json.dumps({"attempt": attempt, "probe_post": p_post,
@@ -108,6 +131,7 @@ def main() -> None:
         if not ok_post:
             attempt_log.append({"attempt": attempt, "rejected": "post-probe",
                                 "dev": dev_post})
+            _dump_rejected(attempt, "post-probe", p_pre, p_mid, p_post, r2, r8)
             time.sleep(args.retry_sleep)
             continue
 
