@@ -406,6 +406,105 @@ def _q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the DIRECTED blocked doc graph
+    (operators/scc.py, round 6): (vid, scc) with scc = the min vid of the
+    component (isolated docs -> own vid). The blocked graph confines
+    reachability to 16-doc blocks, so the oracle's transitive closure is
+    tiny: reach = recursive closure of the directed edges; mutual(v,u) iff
+    reach(v,u) AND reach(u,v) (v==u included exactly when v lies on a
+    cycle); scc(v) = min mutual partner, else v itself."""
+    from pds_hw2_mpi_connected_components_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    out, _ = strongly_connected_components(
+        doc_edges_blocked(spark, sf_dir), vertices=doc_vertices(spark, sf_dir)
+    )
+    return out
+
+
+def _q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bowtie decomposition of the DIRECTED blocked doc graph
+    (operators/bowtie.py, round 6): (vid, region, core) with region in
+    CORE/IN/OUT/TUBE/TENDRIL/DISC relative to the LARGEST SCC (ties ->
+    smallest label). The blocked graph confines reachability to 16-doc
+    blocks, so exactly one block's giant SCC is the core and every other
+    block is DISC — a degenerate but fully deterministic bowtie that
+    exercises all six region paths; the oracle recomputes the taxonomy
+    from the recursive reach closure."""
+    from pds_hw2_mpi_connected_components_spark.operators.bowtie import bowtie
+
+    out, _ = bowtie(
+        doc_edges_blocked(spark, sf_dir), vertices=doc_vertices(spark, sf_dir)
+    )
+    return out
+
+
+_ANF_TRIALS = 8
+_ANF_HOPS = 16  # >= any block's diameter (blocks are 16 docs), so the
+#                 operator's early-stop + pad and the oracle's full unroll
+#                 land on identical fixpoint rows
+
+
+def _q_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighborhood function of the DIRECTED blocked doc graph
+    (operators/anf.py, round 6): exactly _ANF_HOPS+1 rows (hop, n_est),
+    n_est = the Flajolet-Martin estimate of #pairs within <= hop arcs.
+    The sketch hash is deterministic and SQL-expressible on both engines
+    (operator module docstring), so the oracle replays the EXACT masks —
+    a full value oracle for an approximate operator."""
+    from pds_hw2_mpi_connected_components_spark.operators.anf import anf
+
+    out, _ = anf(
+        doc_edges_blocked(spark, sf_dir),
+        vertices=doc_vertices(spark, sf_dir),
+        n_trials=_ANF_TRIALS,
+        max_hops=_ANF_HOPS,
+        directed=True,
+    )
+    return out
+
+
+def _anf_oracle_sql(n_trials: int = _ANF_TRIALS, hops: int = _ANF_HOPS) -> str:
+    """DuckDB twin of operators/anf.py's sketch recursion, unrolled for
+    ``hops`` rounds (the _coreness_oracle_sql pattern): masks live as
+    (vid, t, m) rows, each round is self UNION ALL neighbor-gather ->
+    bit_or GROUP BY, and each round's N(h) estimate is emitted as one
+    (hop, n_est) row. DuckDB spells XOR as xor() and Spark as ^; all
+    other bit ops are shared syntax."""
+    x = f"(xor(d.doc_id % 2147483648, t.t * 12582917 + 2654435769) & 2147483647)"
+    y = f"(({x} * 2654435761) >> 16) & 2147483647"
+    z = f"((({y}) * 1597334677) >> 16) & 2147483647"
+    b = (f"(CASE WHEN ({z}) = 0 THEN 30 "
+         f"ELSE least(30, cast(round(log2(({z}) & -({z}))) as bigint)) END)")
+    lzb = "cast(round(log2((~m) & (m + 1))) as bigint)"
+    parts = [f"""WITH e AS MATERIALIZED ({EDGES_BLOCKED_SQL}),
+ m0 AS MATERIALIZED (
+   SELECT d.doc_id AS vid, t.t AS t, (1::BIGINT << {b}) AS m
+   FROM documents d, (SELECT unnest(range({n_trials})) AS t) t
+ )"""]
+    for i in range(1, hops + 1):
+        parts.append(f""" m{i} AS MATERIALIZED (
+   SELECT vid, t, bit_or(m) AS m FROM (
+     SELECT vid, t, m FROM m{i - 1}
+     UNION ALL
+     SELECT e.src AS vid, g.t, g.m FROM e JOIN m{i - 1} g ON g.vid = e.dst
+   ) GROUP BY vid, t
+ )""")
+    ests = []
+    for i in range(hops + 1):
+        ests.append(f""" est{i} AS (
+   SELECT {i}::BIGINT AS hop, round(sum(pow(2.0, mb) / 0.77351), 6) AS n_est
+   FROM (
+     SELECT vid, avg({lzb}) AS mb FROM m{i} GROUP BY vid
+   )
+ )""")
+    union = "\n UNION ALL\n".join(f" SELECT hop, n_est FROM est{i}"
+                                  for i in range(hops + 1))
+    return ",\n".join(parts + ests) + "\n" + union
+
+
 def _coreness_oracle_sql(t_max: int = _CORENESS_T, rounds: int = _CORENESS_R) -> str:
     parts = [f"""WITH e AS MATERIALIZED ({EDGES_BLOCKED_SQL}),
  c1 AS MATERIALIZED (
@@ -790,6 +889,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore3_blocked": _q_kcore,
         "coreness_blocked": _q_coreness,
         "bfs_hops_blocked": _q_bfs_hops,
+        "scc_blocked": _q_scc,
+        "bowtie_blocked": _q_bowtie,
+        "anf_blocked": _q_anf,
         "extract_text": _q_extract_text,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard,
@@ -984,6 +1086,114 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v AS vid, min(h) AS hops FROM walk GROUP BY v
         """,
+        # SCC: transitive closure (block-confined, so tiny), mutual
+        # reachability, component label = min mutual partner (v itself is a
+        # mutual partner exactly when v lies on a cycle), else v
+        "scc_blocked": f"""
+            WITH RECURSIVE e AS ({EDGES_BLOCKED_SQL}),
+            reach(a, b) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.a, e2.dst FROM reach r JOIN e e2 ON e2.src = r.b
+            ),
+            mutual AS (
+                SELECT r1.a AS v, r1.b AS u
+                FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+            )
+            SELECT d.doc_id AS vid,
+                   coalesce(min(m.u), d.doc_id) AS scc
+            FROM documents d LEFT JOIN mutual m ON m.v = d.doc_id
+            GROUP BY d.doc_id
+        """,
+        # Bowtie: same reach closure; scc labels as in scc_blocked; core =
+        # largest SCC (ties -> min label); IN/OUT = backward/forward reach
+        # of the core; weak = undirected closure from the core; TUBE =
+        # leftover weak members on an IN->OUT bypass; remaining weak
+        # members TENDRIL; everything else DISC — mirrors
+        # operators/bowtie.py's precedence exactly.
+        "bowtie_blocked": f"""
+            WITH RECURSIVE e AS ({EDGES_BLOCKED_SQL}),
+            reach(a, b) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.a, e2.dst FROM reach r JOIN e e2 ON e2.src = r.b
+            ),
+            ue AS (SELECT * FROM
+                (SELECT src, dst FROM e UNION SELECT dst, src FROM e)),
+            wreach(a, b) AS (
+                SELECT src, dst FROM ue
+                UNION
+                SELECT w.a, u.dst FROM wreach w JOIN ue u ON u.src = w.b
+            ),
+            scc AS (
+                SELECT d.doc_id AS vid, coalesce(min(m.u), d.doc_id) AS scc
+                FROM documents d LEFT JOIN (
+                    SELECT r1.a AS v, r1.b AS u
+                    FROM reach r1 JOIN reach r2
+                      ON r1.a = r2.b AND r1.b = r2.a
+                ) m ON m.v = d.doc_id
+                GROUP BY d.doc_id
+            ),
+            core_pick AS (
+                SELECT scc FROM (
+                    SELECT scc, count(*) AS c FROM scc GROUP BY scc
+                ) ORDER BY c DESC, scc ASC LIMIT 1
+            ),
+            core AS (
+                SELECT vid FROM scc
+                WHERE scc = (SELECT scc FROM core_pick)
+            ),
+            fwd AS (SELECT * FROM (
+                SELECT vid FROM core
+                UNION
+                SELECT r.b FROM reach r JOIN core c ON r.a = c.vid
+            )),
+            bwd AS (SELECT * FROM (
+                SELECT vid FROM core
+                UNION
+                SELECT r.a FROM reach r JOIN core c ON r.b = c.vid
+            )),
+            weak AS (SELECT * FROM (
+                SELECT vid FROM core
+                UNION
+                SELECT w.b FROM wreach w JOIN core c ON w.a = c.vid
+            )),
+            in_set AS (
+                SELECT b.vid FROM bwd b
+                LEFT JOIN core c ON c.vid = b.vid WHERE c.vid IS NULL
+            ),
+            out_set AS (
+                SELECT f.vid FROM fwd f
+                LEFT JOIN core c ON c.vid = f.vid WHERE c.vid IS NULL
+            ),
+            from_in AS (SELECT * FROM (
+                SELECT vid FROM in_set
+                UNION
+                SELECT r.b FROM reach r JOIN in_set i ON r.a = i.vid
+            )),
+            to_out AS (SELECT * FROM (
+                SELECT vid FROM out_set
+                UNION
+                SELECT r.a FROM reach r JOIN out_set o ON r.b = o.vid
+            ))
+            SELECT d.doc_id AS vid,
+                   CASE WHEN c.vid IS NOT NULL THEN 'CORE'
+                        WHEN i.vid IS NOT NULL THEN 'IN'
+                        WHEN o.vid IS NOT NULL THEN 'OUT'
+                        WHEN w.vid IS NULL THEN 'DISC'
+                        WHEN fi.vid IS NOT NULL AND t.vid IS NOT NULL
+                             THEN 'TUBE'
+                        ELSE 'TENDRIL' END AS region,
+                   (SELECT scc FROM core_pick) AS core
+            FROM documents d
+            LEFT JOIN core c ON c.vid = d.doc_id
+            LEFT JOIN in_set i ON i.vid = d.doc_id
+            LEFT JOIN out_set o ON o.vid = d.doc_id
+            LEFT JOIN weak w ON w.vid = d.doc_id
+            LEFT JOIN from_in fi ON fi.vid = d.doc_id
+            LEFT JOIN to_out t ON t.vid = d.doc_id
+        """,
+        "anf_blocked": _anf_oracle_sql(),
         "extract_text": r"""
             SELECT doc_id,
                    trim('Doc ' || CAST(doc_id AS VARCHAR) || ' ' ||

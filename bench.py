@@ -56,6 +56,11 @@ from pds_hw2_mpi_connected_components_spark.operators.hits import hits  # noqa: 
 from pds_hw2_mpi_connected_components_spark.operators.kcore import coreness, k_core  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.operators.labelprop import label_propagation  # noqa: E402
 from pds_hw2_mpi_connected_components_spark.operators.pagerank import pagerank  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.operators.anf import anf  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.operators.bowtie import bowtie  # noqa: E402
+from pds_hw2_mpi_connected_components_spark.operators.scc import (  # noqa: E402
+    strongly_connected_components,
+)
 from pds_hw2_mpi_connected_components_spark.operators.similarity import (  # noqa: E402
     ann_topk_lsh,
     cosine_topk,
@@ -111,16 +116,18 @@ def probe_deviation(probe: dict) -> float:
     return max(devs) if devs else float("inf")
 
 
-def gated_probe(max_retries: int | None = None, retry_sleep: float = 45.0) -> dict:
+def gated_probe(max_retries: int | None = None, retry_sleep: float = 75.0) -> dict:
     """Window-aware probe (round-5 protocol, VERDICT r4 #1): probe the host
     before the JVM starts; if the window deviates > PROBE_TOL from the
     quiet-window band, sleep and retry up to $SPARK_GRAFT_PROBE_RETRIES
-    (default 2) times, then run anyway but stamp the artifact
-    ``window_degraded: true`` — a degraded artifact's per-leg medians must
-    not be compared across rounds, and the regression gate of FUTURE rounds
-    skips it as a baseline."""
+    (default 8 — round 6 raised it from 2 after two consecutive rounds of
+    one-shot attempts lost to the host's quota schedule; worst case ~10 min
+    of waiting buys a comparable artifact) times, then run anyway but stamp
+    the artifact ``window_degraded: true`` — a degraded artifact's per-leg
+    medians must not be compared across rounds, and the regression gate of
+    FUTURE rounds skips it as a baseline."""
     if max_retries is None:
-        max_retries = int(os.environ.get("SPARK_GRAFT_PROBE_RETRIES", "2"))
+        max_retries = int(os.environ.get("SPARK_GRAFT_PROBE_RETRIES", "8"))
     attempt = 0
     while True:
         probe = cpu_probe()
@@ -178,6 +185,11 @@ def run_suite(spark, sf_dir: str, cpus: int, timed) -> dict:
     timed("doc_hits_10it", lambda: hits(eg, vertices=verts, tol=0.0, max_iter=10)[0].count())
     timed("doc_kcore3", lambda: k_core(eb, k=3)[0].count())
     timed("doc_coreness", lambda: coreness(eb)[0].count())
+    timed("doc_scc", lambda: strongly_connected_components(
+        eb, vertices=verts)[0].count())
+    timed("doc_bowtie", lambda: bowtie(eb, vertices=verts)[0].count())
+    timed("doc_anf_16t", lambda: anf(
+        eg, vertices=verts, n_trials=16, max_hops=8)[0].count())
     timed("doc_clustering", lambda: clustering_coefficient(eb).count())
 
     # -- training-data pipeline ops --------------------------------------
@@ -248,24 +260,86 @@ def _load_bench_artifact(path: str) -> dict | None:
         return None
 
 
+def _history_candidates(here: str) -> list[tuple[str, dict]]:
+    """Self-recorded full results (BENCH/bench_history.jsonl, newest first).
+
+    Round-6 fix for the ADVICE finding on _load_bench_artifact: the driver
+    records only the last 2000 chars of stdout, and the full JSON line
+    outgrew that in round 5 (BENCH_r05.json has parsed:null and no
+    recoverable tail), so relying on driver artifacts alone permanently
+    pins the gate's baseline at r3. bench.py now records every run itself
+    (see ``record_run``) and the gate prefers those — they are never
+    truncated."""
+    path = os.path.join(here, "BENCH", "bench_history.jsonl")
+    out: list[tuple[str, dict]] = []
+    try:
+        with open(path) as f:
+            for ln in f:
+                try:
+                    e = json.loads(ln)
+                except ValueError:
+                    continue
+                if isinstance(e, dict) and isinstance(e.get("result"), dict):
+                    name = f"bench_history@{e.get('ts_iso', e.get('ts', '?'))}"
+                    out.append((name, e))
+    except OSError:
+        pass
+    out.sort(key=lambda t: t[1].get("ts", 0), reverse=True)
+    return [(name, e["result"]) for name, e in out]
+
+
+def record_run(here: str, result: dict) -> None:
+    """Persist the full result dict where the driver's 2000-char stdout
+    tail cannot lose it: append to BENCH/bench_history.jsonl (the gate's
+    preferred baseline source) and overwrite BENCH_latest.json (human
+    entry point). Best-effort — a read-only checkout must not break the
+    bench output line."""
+    import datetime
+    import subprocess
+
+    entry = {"ts": time.time(),
+             "ts_iso": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                 timespec="seconds"),
+             "result": result}
+    try:
+        entry["git"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=here, timeout=10).stdout.strip() or None
+    except Exception:
+        entry["git"] = None
+    try:
+        os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+        with open(os.path.join(here, "BENCH", "bench_history.jsonl"), "a") as f:
+            f.write(json.dumps(entry) + "\n")
+        with open(os.path.join(here, "BENCH_latest.json"), "w") as f:
+            json.dump(entry, f, indent=1)
+    except OSError:
+        pass
+
+
 def regression_gate(queries: dict, stddev: dict, sf: str, cpus: int) -> dict:
     """Cross-round regression adjudication (benchmark.c:275-284's trial
     consistency made round-over-round): compare each leg's median to the
-    newest COMPARABLE, QUIET-WINDOW BENCH_r*.json in the repo root —
-    artifacts from a degraded host window (window_degraded, or a recorded
-    probe outside the PROBE_TOL band: the r4 case) are skipped as
-    baselines, because their uniform inflation would mask real regressions
-    AND flag phantom improvements. A leg regresses only if it is BOTH >25%
-    slower AND outside 3x the larger of the two runs' stddevs (floored at
-    0.05s) — the double condition is the shared-host noise band established
-    in round 3. Skips silently when no comparable artifact exists."""
+    newest COMPARABLE, QUIET-WINDOW prior run — self-recorded history
+    entries first (full dicts, never truncated), then driver-recorded
+    BENCH_r*.json artifacts. Artifacts from a degraded host window
+    (window_degraded, or a recorded probe outside the PROBE_TOL band: the
+    r4 case) are skipped as baselines, because their uniform inflation
+    would mask real regressions AND flag phantom improvements. A leg
+    regresses only if it is BOTH >25% slower AND outside 3x the larger of
+    the two runs' stddevs (floored at 0.05s) — the double condition is the
+    shared-host noise band established in round 3. Skips silently when no
+    comparable artifact exists."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
     skipped = []
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
-        name = os.path.basename(path)
-        prev = _load_bench_artifact(path)
+    candidates = _history_candidates(here)
+    candidates += [
+        (os.path.basename(p), _load_bench_artifact(p))
+        for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True)
+    ]
+    for name, prev in candidates:
         if prev is None:
             skipped.append({"artifact": name, "why": "unparseable"})
             continue
@@ -322,7 +396,7 @@ def main() -> None:
         for k, v in trials.items()
     }
     total = round(sum(queries.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "headline_suite_wall_sec",
         "value": total,
         "unit": "sec",
@@ -335,9 +409,12 @@ def main() -> None:
         "cc_edges_per_sec": round(stats["cc_sym_edges"] / queries["pipeline_cc"], 1),
         "cc_rounds": stats["cc_rounds"],
         "cc_sym_edges": stats["cc_sym_edges"],
-        **regression_gate(queries, stddev, sf, cpus),
+        **regression_gate(queries, stddev, sf, cpus),  # gate runs BEFORE this
+        # run is recorded, so it never compares a run against itself
         **probe,
-    }))
+    }
+    record_run(os.path.dirname(os.path.abspath(__file__)), result)
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -123,8 +123,10 @@ def hits(
             "vid", F.lit(0.0).alias("auth"), F.lit(0.0).alias("hub")
         ), []
 
-    e_by_src = edges.select("src", "dst").repartition(n_part, "src").localCheckpoint(
-        eager=True
+    e_by_src = (
+        edges.select("src", "dst")
+        .repartition(n_part, "src")
+        .transform(flat_checkpoint)
     )
     e_by_dst = e_by_src.repartition(n_part, "dst").transform(flat_checkpoint)
 

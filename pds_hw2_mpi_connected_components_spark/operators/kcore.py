@@ -116,6 +116,7 @@ def coreness(
     edges: DataFrame,
     vertices: Optional[DataFrame] = None,
     max_iter: int = 100_000,
+    fold_every: int = 64,
 ) -> tuple[DataFrame, list[dict]]:
     """Full core decomposition: returns ((vid, coreness), metrics).
 
@@ -131,7 +132,18 @@ def coreness(
     ``k_core(edges, k)``'s survivor set equals
     ``coreness(edges).where(coreness >= k)`` (tested in
     tests/test_linkstats.py); the decomposition costs one peel pass for ALL
-    k instead of one fixpoint loop per k."""
+    k instead of one fixpoint loop per k.
+
+    ``fold_every``: every that many peel rounds, the accumulated (vid,
+    coreness) victim batches — each a lazy projection over that round's
+    checkpointed degree table — are collapsed into ONE flat checkpoint.
+    Without the fold, a DEEP decomposition (random/social graphs peel
+    thousands of rounds; web fringes don't) grows an O(rounds) union plan
+    and pins every round's checkpoint RDD until the final union; with it,
+    plan size and pinned-RDD count are bounded by O(fold_every) and the
+    fold's rewrite cost is amortized O(victims) per fold (deep peels have
+    small rounds by construction). Pinned by
+    tests/test_linkstats.py::test_coreness_deep_peel_bounded_plan."""
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sym = (
@@ -145,7 +157,17 @@ def coreness(
         .select(F.col("src").alias("vid"), "deg")
         .transform(flat_checkpoint)
     )
-    peeled: list[DataFrame] = []  # (vid, coreness) batches; lazy over checkpointed degs
+    # (vid, coreness) victim batches, lazy over each round's checkpointed
+    # degree table; folded into peeled_acc every fold_every rounds so the
+    # final union plan and the pinned per-round checkpoints stay bounded.
+    peeled: list[DataFrame] = []
+    peeled_acc: Optional[DataFrame] = None
+
+    def _fold(batches: list[DataFrame], acc: Optional[DataFrame]) -> DataFrame:
+        out = acc
+        for p in batches:
+            out = p if out is None else out.unionByName(p)
+        return out.transform(flat_checkpoint)
     metrics: list[dict] = []
     k = 1
     converged = False
@@ -195,6 +217,9 @@ def coreness(
             .transform(flat_checkpoint)
         )
         n_victims = alive - (vc_obs.get["left"] or 0)
+        if len(peeled) >= fold_every:
+            peeled_acc = _fold(peeled, peeled_acc)
+            peeled = []
         metrics.append(
             {"iter": it, "k": k, "alive": alive, "victims": n_victims,
              "sec": time.monotonic() - t0, "converged": False}
@@ -207,10 +232,10 @@ def coreness(
             RuntimeWarning,
             stacklevel=2,
         )
-    if peeled:
-        out = peeled[0]
-        for p in peeled[1:]:
-            out = out.unionByName(p)
+    if peeled or peeled_acc is not None:
+        out = peeled_acc
+        for p in peeled:
+            out = p if out is None else out.unionByName(p)
     else:
         out = sym.sparkSession.createDataFrame([], "vid long, coreness long")
     out = out.select("vid", F.col("coreness").cast("long").alias("coreness"))

@@ -114,13 +114,25 @@ def pagerank(
     # personalized teleport vector: flat + hash(vid), same layout as the
     # uniform-path vertices so every loop consumer stays co-partitioned
     pvec = None
+    seed_fp = None
     if reset is not None:
         seeds = reset.select("vid").distinct()
-        n_seeds = seeds.join(vertices, "vid", "left_semi").count()
+        # count + bit_xor of the effective seed set (seeds ∩ vertices) in the
+        # SAME action: the xor is a deterministic, order-free fingerprint that
+        # namespaces the checkpoint below — resuming with a different reset
+        # set must NOT silently restore ranks personalized for the old seeds
+        # (it would converge to a blend of the two personalizations).
+        srow = (
+            seeds.join(vertices, "vid", "left_semi")
+            .agg(F.count("*").alias("n"), F.expr("bit_xor(vid)").alias("x"))
+            .collect()[0]
+        )
+        n_seeds = srow["n"]
         if n_seeds == 0:
             raise ValueError(
                 "pagerank(reset=...): no seed vertex is present in the graph"
             )
+        seed_fp = f"{n_seeds}x{(srow['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
         pvec = (
             vertices.join(
                 F.broadcast(seeds.withColumn("is_seed", F.lit(1))), "vid", "left"
@@ -135,7 +147,7 @@ def pagerank(
             .transform(flat_checkpoint)
         )
 
-    ckpt_name = "pagerank" if reset is None else "pagerank_ppr"
+    ckpt_name = "pagerank" if reset is None else f"pagerank_ppr_{seed_fp}"
     start_iter = 0
     ranks = None
     dangling = None

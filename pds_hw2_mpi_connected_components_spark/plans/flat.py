@@ -33,13 +33,20 @@ The rebuild touches ``private[sql]`` constructors (public in bytecode,
 reachable over py4j). If any reflection step fails — e.g. a future Spark
 reshapes LogicalRDD — we fall back to the plain checkpoint: correctness
 is unaffected, only the stats hazard returns, and a RuntimeWarning names
-this module. tests/test_plan_audit.py pins both the digit-count bound and
-the partitioning preservation.
+this module. Because the hazard is a driver LIVELOCK (long loops stop
+terminating, not merely slow down), the fallback can be turned into a
+hard failure: ``flat_checkpoint(df, strict=True)`` or
+``SPARK_GRAFT_FLAT_STRICT=1`` raises RuntimeError instead — the right
+default for unattended >20-iteration production loops, where a hang is
+worse than a crash. tests/test_plan_audit.py pins the digit-count bound,
+the partitioning preservation, and the strict-mode raise.
 """
 
 from __future__ import annotations
 
+import os
 import warnings
+from typing import Optional
 
 from pyspark.sql import DataFrame
 
@@ -47,17 +54,30 @@ _LOGICAL_RDD = "org.apache.spark.sql.execution.LogicalRDD"
 _warned = False
 
 
-def flat_checkpoint(df: DataFrame) -> DataFrame:
+def flat_checkpoint(df: DataFrame, strict: Optional[bool] = None) -> DataFrame:
     """``df.localCheckpoint(eager=True)`` with origin stats/constraints
     stripped (module docstring). Drop-in replacement for the call sites in
-    iterative loops."""
+    iterative loops.
+
+    ``strict`` — when True (or unset and $SPARK_GRAFT_FLAT_STRICT is a
+    non-empty value other than "0"), a failed stats-strip raises
+    RuntimeError instead of silently reverting to the plain checkpoint
+    whose compounding-stats hazard this module exists to close."""
     ck = df.localCheckpoint(eager=True)
+    if strict is None:
+        strict = os.environ.get("SPARK_GRAFT_FLAT_STRICT", "0") not in ("", "0")
     global _warned
     try:
         spark = df.sparkSession
         jvm = spark._jvm  # type: ignore[attr-defined]
         node = ck._jdf.queryExecution().analyzed()  # type: ignore[attr-defined]
         if node.getClass().getName() != _LOGICAL_RDD:
+            if strict:
+                raise RuntimeError(
+                    "flat_checkpoint(strict): localCheckpoint produced a "
+                    f"{node.getClass().getName()} node, not LogicalRDD — "
+                    "origin stats cannot be stripped on this Spark version"
+                )
             return ck
         none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
         stripped = jvm.org.apache.spark.sql.execution.LogicalRDD(
@@ -76,6 +96,16 @@ def flat_checkpoint(df: DataFrame) -> DataFrame:
         )
         return DataFrame(jdf, spark)
     except Exception as exc:  # pragma: no cover - version-drift fallback
+        if strict:
+            if isinstance(exc, RuntimeError) and "flat_checkpoint(strict)" in str(exc):
+                raise
+            raise RuntimeError(
+                "flat_checkpoint(strict): could not strip origin stats from "
+                f"the checkpointed plan ({exc!r}); refusing to fall back to "
+                "the plain localCheckpoint, whose compounding-stats driver "
+                "livelock this helper exists to close (see "
+                "pds_hw2_mpi_connected_components_spark/plans/flat.py)"
+            ) from exc
         if not _warned:
             _warned = True
             warnings.warn(

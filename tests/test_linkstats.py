@@ -214,3 +214,22 @@ def test_clustering_coefficient_vs_python(spark, name):
         for r in clustering_coefficient(make_edges(spark, pairs)).collect()
     }
     assert got == python_lcc(pairs), name
+
+
+def test_coreness_deep_peel_bounded_plan(spark):
+    """A 220-vertex path peels one endpoint pair per round (~110 rounds).
+    With fold_every=8 the victims accumulator must periodically collapse
+    into a flat checkpoint (VERDICT/ADVICE r5), keeping the result's union
+    plan bounded instead of O(rounds) — without the fold this plan is one
+    union branch per round (>400 lines) and pins every round's checkpoint
+    RDD until the final union."""
+    from pds_hw2_mpi_connected_components_spark.operators.kcore import coreness
+
+    pairs = [(i, i + 1) for i in range(219)]
+    out, metrics = coreness(make_edges(spark, pairs), fold_every=8)
+    assert len(metrics) >= 100  # genuinely deep peel
+    n_lines = len(out._jdf.queryExecution().analyzed().toString().splitlines())
+    assert n_lines < 150, f"unbounded coreness output plan: {n_lines} lines"
+    got = {r["vid"]: r["coreness"] for r in out.collect()}
+    assert got == python_coreness(pairs)
+    assert metrics[-1]["converged"] is True

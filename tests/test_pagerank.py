@@ -274,3 +274,33 @@ def test_ppr_empty_seed_intersection_raises(spark):
             make_edges(spark, pairs), vertices=vertices,
             reset=_seed_df(spark, [99]),
         )
+
+
+def test_ppr_checkpoint_namespace_encodes_seed_set(spark, tmp_path):
+    """Resuming PPR with a DIFFERENT reset set must not restore ranks
+    personalized for the old seeds (r5 ADVICE): the checkpoint namespace
+    folds a count+bit_xor fingerprint of the effective seed set, so a new
+    seed set opens a fresh namespace instead of silently blending."""
+    import os
+
+    from pds_hw2_mpi_connected_components_spark.plans.checkpoint import CheckpointStore
+
+    n, pairs = CASES["cycle6"]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "vid long")
+    edges = make_edges(spark, pairs)
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    pagerank(edges, vertices=vertices, tol=0.0, max_iter=3,
+             checkpoint=store, reset=_seed_df(spark, [0, 1]))
+    r_b, _ = pagerank(edges, vertices=vertices, tol=0.0, max_iter=3,
+                      checkpoint=store, reset=_seed_df(spark, [2]))
+    r_fresh, _ = pagerank(edges, vertices=vertices, tol=0.0, max_iter=3,
+                          reset=_seed_df(spark, [2]))
+    got = {r["vid"]: r["rank"] for r in r_b.collect()}
+    want = {r["vid"]: r["rank"] for r in r_fresh.collect()}
+    assert got.keys() == want.keys()
+    assert all(abs(got[v] - want[v]) < 1e-9 for v in want)
+    # the two seed sets must live in two distinct on-disk namespaces
+    spaces = {d for d in os.listdir(tmp_path / "ck")
+              if d.startswith("pagerank_ppr_")
+              and not d.endswith("_metrics.jsonl")}
+    assert len(spaces) == 2, spaces

@@ -356,3 +356,23 @@ def test_flat_checkpoint_bounds_stats_and_keeps_partitioning(spark):
         assert exchanges(flat_checkpoint) == exchanges(
             lambda d: d.localCheckpoint(eager=True)
         )  # (c)
+
+
+def test_flat_checkpoint_strict_raises_on_reflection_failure(spark, monkeypatch):
+    """The stats-strip fallback guards against a driver LIVELOCK, not a
+    slowdown — strict mode (kwarg or $SPARK_GRAFT_FLAT_STRICT) must raise
+    instead of silently reverting to the plain localCheckpoint (r5 ADVICE).
+    A future-Spark LogicalRDD reshape is simulated by renaming the node
+    class the helper looks for."""
+    from pds_hw2_mpi_connected_components_spark.plans import flat
+
+    df = spark.range(8)
+    monkeypatch.setattr(flat, "_LOGICAL_RDD", "org.example.NotARealNode")
+    with pytest.raises(RuntimeError, match="flat_checkpoint"):
+        flat.flat_checkpoint(df, strict=True)
+    monkeypatch.setenv("SPARK_GRAFT_FLAT_STRICT", "1")
+    with pytest.raises(RuntimeError, match="flat_checkpoint"):
+        flat.flat_checkpoint(df)  # strict=None -> env var
+    # non-strict keeps the correctness-preserving fallback
+    monkeypatch.setenv("SPARK_GRAFT_FLAT_STRICT", "0")
+    assert flat.flat_checkpoint(df).count() == 8

@@ -71,13 +71,15 @@ def _run_worker(master: str, n_pages: int) -> dict:
     return json.loads(lines[-1])
 
 
-def _dump_rejected(attempt, why, p_pre, p_mid, p_post, r2, r8) -> None:
+def _dump_rejected(attempt, why, p_pre, p_mid, p_post, r2, r8, tag="r5") -> None:
     """A rejected pair already paid for its worker runs — keep the raw
     timings on disk (…_rejected_a{N}.json) instead of discarding them, so a
     later adjudication can still inspect what the contaminated window did.
     Never merged into the accepted-results artifact."""
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(here, "BENCH", f"scaling_results_r5_rejected_a{attempt}.json")
+    path = os.path.join(
+        here, "BENCH", f"scaling_results_{tag}_rejected_a{attempt}.json"
+    )
     with open(path, "w") as f:
         json.dump({"attempt": attempt, "rejected": why,
                    "probes": {"pre": p_pre, "mid": p_mid, "post": p_post},
@@ -95,6 +97,12 @@ def main() -> None:
         help="seconds to wait after each worker JVM exits before probing "
              "(a probe taken in the teardown wake can read the host's own "
              "recovery as quota noise and reject an otherwise-clean pair)",
+    )
+    ap.add_argument(
+        "--tag", default="r5",
+        help="round tag for the output artifacts (scaling_results_{tag}.json "
+             "+ the BASELINE.md addendum heading); the protocol is unchanged "
+             "across tags",
     )
     args = ap.parse_args()
 
@@ -119,7 +127,8 @@ def main() -> None:
         if not ok_mid:
             attempt_log.append({"attempt": attempt, "rejected": "mid-probe",
                                 "dev": dev_mid})
-            _dump_rejected(attempt, "mid-probe", p_pre, p_mid, None, r2, None)
+            _dump_rejected(attempt, "mid-probe", p_pre, p_mid, None, r2, None,
+                           tag=args.tag)
             time.sleep(args.retry_sleep)
             continue
         r8 = _run_worker("local[8]", args.n_pages)
@@ -131,7 +140,8 @@ def main() -> None:
         if not ok_post:
             attempt_log.append({"attempt": attempt, "rejected": "post-probe",
                                 "dev": dev_post})
-            _dump_rejected(attempt, "post-probe", p_pre, p_mid, p_post, r2, r8)
+            _dump_rejected(attempt, "post-probe", p_pre, p_mid, p_post, r2, r8,
+                           tag=args.tag)
             time.sleep(args.retry_sleep)
             continue
 
@@ -159,7 +169,7 @@ def main() -> None:
         print(json.dumps(summary), flush=True)
 
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        with open(os.path.join(here, "BENCH", "scaling_results_r5.json"), "w") as f:
+        with open(os.path.join(here, "BENCH", f"scaling_results_{args.tag}.json"), "w") as f:
             json.dump({"summary": summary,
                        "runs": {"local[2]": r2, "local[8]": r8}}, f, indent=1)
         rows = "\n".join(
@@ -170,7 +180,7 @@ def main() -> None:
         )
         md = f"""
 
-## Addendum: round-5 quiet-window pipeline-scale confirmation (VERDICT r4 #3)
+## Addendum ({args.tag}): quiet-window pipeline-scale confirmation (VERDICT r4 #3)
 
 Same 6M-page pipeline pair as the r4 addendum, but the window is PROVEN
 quiet by construction: the sha256 probe sat within {PROBE_TOL:.0%} of the r3

@@ -52,7 +52,9 @@ def main() -> None:
                                   "spark.executor.heartbeatInterval": "60s",
                                   "spark.network.timeout": "1200s"})
     edges = generate_edges(spark, n_vertices, n_components=N_COMPONENTS)
-    edges = edges.localCheckpoint(eager=True)
+    from pds_hw2_mpi_connected_components_spark.plans.flat import flat_checkpoint
+
+    edges = edges.transform(flat_checkpoint)
     n_edges = edges.count()
     n_sym = symmetrize(edges).count()
     out = {"n_vertices": n_vertices, "directed_edges": n_edges,
