@@ -466,6 +466,62 @@ def _q_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_eff_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated 90%-effective diameter of the blocked doc graph from
+    the ANF curve (operators/anf.py effective_diameter — the standard ANF
+    summary statistic): ONE row (eff_diameter double). The curve collect
+    is O(max_hops) scalars; the interpolation is arithmetic on two
+    bracketing doubles, identical on both engines."""
+    from pds_hw2_mpi_connected_components_spark.operators.anf import (
+        anf,
+        effective_diameter,
+    )
+
+    curve_df, _ = anf(
+        doc_edges_blocked(spark, sf_dir),
+        vertices=doc_vertices(spark, sf_dir),
+        n_trials=_ANF_TRIALS,
+        max_hops=_ANF_HOPS,
+        directed=True,
+    )
+    curve = [v for _, v in sorted((r["hop"], r["n_est"])
+                                  for r in curve_df.collect())]
+    return spark.createDataFrame(
+        [(float(effective_diameter(curve, q=0.9)),)], "eff_diameter double"
+    )
+
+
+def _eff_diameter_oracle_sql() -> str:
+    """SQL twin of operators/anf.py effective_diameter over the anf
+    oracle's curve: target = 0.9 * N(max_hop); answer 0 when hop 0
+    already meets it, else linear interpolation at the first crossing
+    (the curve is monotone by construction — masks only gain bits)."""
+    return f"""
+        WITH curve AS ({_anf_oracle_sql()}),
+        tgt AS (
+            SELECT 0.9 * (SELECT n_est FROM curve WHERE hop = {_ANF_HOPS})
+                   AS t
+        ),
+        x AS (
+            SELECT hop, n_est,
+                   lag(n_est) OVER (ORDER BY hop) AS prev
+            FROM curve
+        )
+        SELECT CASE
+            WHEN (SELECT n_est FROM curve WHERE hop = 0) >= (SELECT t FROM tgt)
+                THEN 0.0
+            ELSE (
+                SELECT round(hop - 1 + ((SELECT t FROM tgt) - prev)
+                                       / (n_est - prev), 6)
+                FROM x
+                WHERE n_est >= (SELECT t FROM tgt)
+                  AND prev < (SELECT t FROM tgt)
+                ORDER BY hop LIMIT 1
+            )
+        END AS eff_diameter
+    """
+
+
 def _anf_oracle_sql(n_trials: int = _ANF_TRIALS, hops: int = _ANF_HOPS) -> str:
     """DuckDB twin of operators/anf.py's sketch recursion, unrolled for
     ``hops`` rounds (the _coreness_oracle_sql pattern): masks live as
@@ -892,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_blocked": _q_scc,
         "bowtie_blocked": _q_bowtie,
         "anf_blocked": _q_anf,
+        "eff_diameter_blocked": _q_eff_diameter,
         "extract_text": _q_extract_text,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard,
@@ -1194,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN to_out t ON t.vid = d.doc_id
         """,
         "anf_blocked": _anf_oracle_sql(),
+        "eff_diameter_blocked": _eff_diameter_oracle_sql(),
         "extract_text": r"""
             SELECT doc_id,
                    trim('Doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
