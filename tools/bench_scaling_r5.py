@@ -50,9 +50,29 @@ def probe() -> dict:
     return hardware_probe(procs=(2, 8, 32), units=192, unit_work=200_000)
 
 
+def band_dev(p: dict) -> float:
+    return round(max(abs(p[k] / ref - 1.0) for k, ref in QUIET_BAND.items()), 3)
+
+
 def probe_ok(p: dict) -> tuple[bool, float]:
-    dev = max(abs(p[k] / ref - 1.0) for k, ref in QUIET_BAND.items())
-    return dev <= PROBE_TOL, round(dev, 3)
+    dev = band_dev(p)
+    return dev <= PROBE_TOL, dev
+
+
+def stable(probes: list[dict], tol: float) -> tuple[bool, float]:
+    """Mutual stability of a window's probes: for every timing key, the
+    spread max/min - 1 across the probes taken so far must stay within
+    ``tol``. This is the window acceptance criterion that matters for a
+    SCALING ratio — eff(2 cores -> 8 cores) inside one window is invariant
+    to a uniform quota scale, so the absolute r3 band level need not hold,
+    only that the regime did not FLIP between the two worker runs (the
+    cross-regime mixing that invalidated r4). The absolute band deviation
+    is still recorded as metadata for honesty."""
+    spread = 0.0
+    for k in QUIET_BAND:
+        vals = [p[k] for p in probes]
+        spread = max(spread, max(vals) / min(vals) - 1.0)
+    return spread <= tol, round(spread, 3)
 
 
 def _run_worker(master: str, n_pages: int) -> dict:
@@ -99,6 +119,24 @@ def main() -> None:
              "recovery as quota noise and reject an otherwise-clean pair)",
     )
     ap.add_argument(
+        "--window-mode", choices=("band", "stability"), default="band",
+        help="'band': all three probes must sit within PROBE_TOL of the r3 "
+             "absolute band (original protocol). 'stability': the probes "
+             "must agree with EACH OTHER within --stability-tol — the "
+             "criterion a scaling RATIO actually needs (a uniform quota "
+             "shift cancels in eff(2->8); only a regime FLIP between the "
+             "two runs invalidates the pair). Use when the host's idle "
+             "floor has drifted off the historical band; the absolute "
+             "deviation is still recorded in the artifact.",
+    )
+    ap.add_argument("--stability-tol", type=float, default=0.15,
+                    help="max per-key probe spread (max/min - 1) in "
+                         "stability mode")
+    ap.add_argument("--storm-cap", type=float, default=1.0,
+                    help="stability mode: reject a window outright when the "
+                         "pre-probe sits more than this far off the band "
+                         "(an active storm can flip mid-pair)")
+    ap.add_argument(
         "--tag", default="r5",
         help="round tag for the output artifacts (scaling_results_{tag}.json "
              "+ the BASELINE.md addendum heading); the protocol is unchanged "
@@ -110,7 +148,13 @@ def main() -> None:
     attempt_log: list[dict] = []
     for attempt in range(args.max_attempts):
         p_pre = probe()
-        ok_pre, dev_pre = probe_ok(p_pre)
+        dev_pre = band_dev(p_pre)
+        if args.window_mode == "band":
+            ok_pre = dev_pre <= PROBE_TOL
+        else:
+            # stability mode: one probe can't show stability yet; just
+            # refuse an outright storm so the pair has a chance
+            ok_pre = dev_pre <= args.storm_cap
         print(json.dumps({"attempt": attempt, "probe_pre": p_pre,
                           "quiet": ok_pre, "dev": dev_pre}), flush=True)
         if not ok_pre:
@@ -121,12 +165,18 @@ def main() -> None:
         r2 = _run_worker("local[2]", args.n_pages)
         time.sleep(args.settle_sleep)
         p_mid = probe()
-        ok_mid, dev_mid = probe_ok(p_mid)
+        dev_mid = band_dev(p_mid)
+        if args.window_mode == "band":
+            ok_mid = dev_mid <= PROBE_TOL
+            spread_mid = None
+        else:
+            ok_mid, spread_mid = stable([p_pre, p_mid], args.stability_tol)
         print(json.dumps({"attempt": attempt, "probe_mid": p_mid,
-                          "quiet": ok_mid, "dev": dev_mid}), flush=True)
+                          "quiet": ok_mid, "dev": dev_mid,
+                          "spread": spread_mid}), flush=True)
         if not ok_mid:
             attempt_log.append({"attempt": attempt, "rejected": "mid-probe",
-                                "dev": dev_mid})
+                                "dev": dev_mid, "spread": spread_mid})
             _dump_rejected(attempt, "mid-probe", p_pre, p_mid, None, r2, None,
                            tag=args.tag)
             time.sleep(args.retry_sleep)
@@ -134,12 +184,19 @@ def main() -> None:
         r8 = _run_worker("local[8]", args.n_pages)
         time.sleep(args.settle_sleep)
         p_post = probe()
-        ok_post, dev_post = probe_ok(p_post)
+        dev_post = band_dev(p_post)
+        if args.window_mode == "band":
+            ok_post = dev_post <= PROBE_TOL
+            spread_post = None
+        else:
+            ok_post, spread_post = stable([p_pre, p_mid, p_post],
+                                          args.stability_tol)
         print(json.dumps({"attempt": attempt, "probe_post": p_post,
-                          "quiet": ok_post, "dev": dev_post}), flush=True)
+                          "quiet": ok_post, "dev": dev_post,
+                          "spread": spread_post}), flush=True)
         if not ok_post:
             attempt_log.append({"attempt": attempt, "rejected": "post-probe",
-                                "dev": dev_post})
+                                "dev": dev_post, "spread": spread_post})
             _dump_rejected(attempt, "post-probe", p_pre, p_mid, p_post, r2, r8,
                            tag=args.tag)
             time.sleep(args.retry_sleep)
@@ -159,6 +216,11 @@ def main() -> None:
             "n_pages": args.n_pages,
             "pipeline_edges": r2["pipeline_edges"],
             "attempt": attempt,
+            "window_mode": args.window_mode,
+            "band_deviation": {"pre": dev_pre, "mid": dev_mid,
+                               "post": dev_post},
+            "probe_spread": (None if args.window_mode == "band"
+                             else spread_post),
             "probes": {"pre": p_pre, "mid": p_mid, "post": p_post},
             "ceiling_eff_2_to_8_median": ceiling,
             "efficiency_local[2]_to_local[8]": effs,
@@ -178,14 +240,26 @@ def main() -> None:
             f"{effs_norm[k]:.3f} |"
             for k in r2["timings"]
         )
-        md = f"""
-
-## Addendum ({args.tag}): quiet-window pipeline-scale confirmation (VERDICT r4 #3)
-
-Same 6M-page pipeline pair as the r4 addendum, but the window is PROVEN
+        if args.window_mode == "band":
+            window_story = f"""the window is PROVEN
 quiet by construction: the sha256 probe sat within {PROBE_TOL:.0%} of the r3
 quiet-window band before the local[2] run, between the two runs, and after
-the local[8] run (attempt {attempt}; earlier rejected attempts:
+the local[8] run"""
+        else:
+            window_story = f"""the window is PROVEN
+STABLE by construction (window_mode=stability): the three bracketing
+sha256 probes agree with each other within {args.stability_tol:.0%}
+(measured spread {spread_post}), so no quota-regime flip occurred between
+the two runs — the property a scaling RATIO needs; a uniform quota scale
+cancels in eff(2->8). Absolute deviation from the historical r3 band:
+pre {dev_pre}, mid {dev_mid}, post {dev_post} (the host's idle floor
+drifted off that band; see BENCH/hunter_r6_probes.jsonl)"""
+        md = f"""
+
+## Addendum ({args.tag}): bracketed pipeline-scale confirmation (VERDICT r4 #3)
+
+Same 6M-page pipeline pair as the r4 addendum, but {window_story}
+(attempt {attempt}; earlier rejected attempts:
 {json.dumps(attempt_log)}). Ceiling = median bracketing eff_2_to_8 =
 {ceiling:.3f} — a same-window ceiling, fixing the r4 mid-oscillation
 ceiling flaw. Probes: pre {json.dumps(p_pre)}, mid {json.dumps(p_mid)},

@@ -112,12 +112,17 @@ def scaling_done() -> bool:
 
 
 def run_scaling() -> None:
+    # window_mode=stability: the scaling RATIO only needs the regime to
+    # hold STILL across the pair (the tool's three bracketing probes must
+    # mutually agree within 15%); the host's idle floor has drifted off
+    # the absolute r3 band (probes log), which a ratio doesn't care about.
     with open(os.path.join(HERE, "BENCH", "hunter_r6_scaling.log"), "a") as log:
         log.write(f"\n=== scaling fired {datetime.datetime.now()} ===\n")
         log.flush()
         subprocess.run(
             [sys.executable, os.path.join(HERE, "tools", "bench_scaling_r5.py"),
-             "--tag", "r6", "--max-attempts", "1", "--settle-sleep", "30"],
+             "--tag", "r6", "--max-attempts", "1", "--settle-sleep", "30",
+             "--window-mode", "stability"],
             stdout=log, stderr=log, cwd=HERE)
 
 
@@ -153,9 +158,13 @@ def run_throughput() -> None:
             json.dump(result, f, indent=1)
 
 
-JOBS = [("bench", bench_done, run_bench),
-        ("scaling", scaling_done, run_scaling),
-        ("throughput", throughput_done, run_throughput)]
+#: (name, done-check, runner, max probe deviation to fire). bench and
+#: throughput need a band-quiet window (their ABSOLUTE numbers are the
+#: artifact); scaling self-brackets stability, so any non-storm window
+#: (dev <= 0.6) is worth an attempt.
+JOBS = [("bench", bench_done, run_bench, TOL),
+        ("scaling", scaling_done, run_scaling, 0.6),
+        ("throughput", throughput_done, run_throughput, TOL)]
 
 
 def main() -> None:
@@ -170,7 +179,7 @@ def main() -> None:
     print(json.dumps({"hunter": "start", "interval": args.interval,
                       "max_hours": args.max_hours}), flush=True)
     while time.monotonic() < deadline:
-        pending = [(n, d, r) for n, d, r in JOBS if not d()]
+        pending = [(n, d, r, g) for n, d, r, g in JOBS if not d()]
         if not pending:
             log_probe({"event": "all jobs done"})
             print(json.dumps({"hunter": "done"}), flush=True)
@@ -180,11 +189,12 @@ def main() -> None:
             time.sleep(args.interval)
             continue
         p, dev = quick_probe()
-        quiet = dev <= TOL
+        firable = [(n, r) for n, _, r, gate in pending if dev <= gate]
+        quiet = bool(firable)
         rec = {"probe": p, "dev": dev, "quiet": quiet,
-               "pending": [n for n, _, _ in pending]}
+               "pending": [n for n, _, _, _ in pending]}
         if quiet:
-            name, _, run = pending[0]
+            name, run = firable[0]
             rec["fired"] = name
             log_probe(rec)
             print(json.dumps(rec), flush=True)
@@ -203,7 +213,7 @@ def main() -> None:
         else:
             log_probe(rec)
             time.sleep(args.interval)
-    left = [n for n, d, _ in JOBS if not d()]
+    left = [n for n, d, _, _ in JOBS if not d()]
     log_probe({"event": "deadline reached", "pending": left})
     print(json.dumps({"hunter": "deadline", "pending": left}), flush=True)
 
