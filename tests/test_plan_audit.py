@@ -376,3 +376,62 @@ def test_flat_checkpoint_strict_raises_on_reflection_failure(spark, monkeypatch)
     # non-strict keeps the correctness-preserving fallback
     monkeypatch.setenv("SPARK_GRAFT_FLAT_STRICT", "0")
     assert flat.flat_checkpoint(df).count() == 8
+
+
+def test_anf_jobs_per_hop(no_aqe):
+    """The anf() docstring's action budget: each hop launches exactly ONE
+    Spark job — the merged-mask flat-checkpoint materialization; the
+    changed-count and the hop's N(h) estimate ride it as observed metrics.
+    Measured as the job delta between max_hops=2 and max_hops=5 on a path
+    too long to converge (setup jobs cancel out)."""
+    from pds_hw2_mpi_connected_components_spark.operators.anf import anf
+
+    spark = no_aqe
+    sc = spark.sparkContext
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    ).localCheckpoint(eager=True)
+
+    def jobs(group, max_hops):
+        sc.setJobGroup(group, group)
+        try:
+            with pytest.warns(RuntimeWarning, match="max_hops"):
+                anf(path, n_trials=4, max_hops=max_hops)
+        finally:
+            sc.setJobGroup("anf_audit_done", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    assert jobs("anf_audit_5", 5) - jobs("anf_audit_2", 2) == 3
+
+
+def test_scc_jobs_per_round(no_aqe):
+    """The scc() docstring's action budget, executed: on a single directed
+    L-cycle the trim phase is one no-victim round, then EVERY color round
+    and EVERY gather round launches exactly ONE job each (convergence
+    scalars ride observe on the round's checkpoint materialization).
+    Growing the cycle by 2 adds one color round + one gather round per
+    extra vertex => the job delta between L and L+2 is exactly 4,
+    independent of L (calibrated: cycle 4/6/8 -> 17/21/25 jobs)."""
+    from pds_hw2_mpi_connected_components_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    spark = no_aqe
+    sc = spark.sparkContext
+
+    def jobs(L):
+        cyc = spark.createDataFrame(
+            [(i, (i + 1) % L) for i in range(L)], "src long, dst long"
+        ).localCheckpoint(eager=True)
+        group = f"scc_audit_{L}"
+        sc.setJobGroup(group, group)
+        try:
+            out, metrics = strongly_connected_components(cyc)
+            assert metrics[-1]["converged"] is True
+        finally:
+            sc.setJobGroup("scc_audit_done", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j4, j6, j8 = jobs(4), jobs(6), jobs(8)
+    assert j6 - j4 == 4, (j4, j6)
+    assert j8 - j6 == 4, (j6, j8)
