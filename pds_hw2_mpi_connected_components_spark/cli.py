@@ -159,6 +159,56 @@ def cmd_pagerank(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_analyze(args: argparse.Namespace) -> int:
+    """Directed link-graph analysis over any edge source (round-6 surface):
+    scc (component count + checksum), bowtie (region histogram + core),
+    anf (N(h) curve + interpolated 90%-effective diameter). Same JSON
+    report shape as the cc benchmark command."""
+    from .operators.anf import anf, effective_diameter
+    from .operators.bowtie import bowtie
+    from .operators.scc import strongly_connected_components
+
+    spark = get_spark(master=args.master, app_name=f"{args.op}-cli")
+    edges = _load_edges(spark, args.edges)
+    t0 = time.monotonic()
+    if args.op == "scc":
+        labels, metrics = strongly_connected_components(edges)
+        if args.out:
+            labels.write.mode("overwrite").parquet(args.out)
+        row = labels.agg(
+            F.countDistinct("scc").alias("n"),
+            F.bit_xor(F.col("vid") * 2654435761 + F.col("scc")).alias("ck"),
+        ).collect()[0]
+        result = {"strongly_connected_components": row["n"],
+                  "labels_checksum": row["ck"],
+                  "converged": bool(metrics[-1]["converged"])}
+    elif args.op == "bowtie":
+        regions, metrics = bowtie(edges)
+        if args.out:
+            regions.write.mode("overwrite").parquet(args.out)
+        hist = {r["region"]: r["count"]
+                for r in regions.groupBy("region").count().collect()}
+        result = {"regions": hist,
+                  "core_label": next(m["core"] for m in metrics
+                                     if m["phase"] == "core"),
+                  "converged": bool(metrics[-1]["converged"])}
+    else:  # anf
+        curve_df, metrics = anf(edges, n_trials=args.trials,
+                                max_hops=args.hops)
+        curve = [v for _, v in
+                 sorted((r["hop"], r["n_est"]) for r in curve_df.collect())]
+        result = {"n_est_curve": curve,
+                  "effective_diameter_90": effective_diameter(curve, q=0.9),
+                  "converged": bool(metrics[-1]["converged"])}
+    print(json.dumps({
+        "system": _sys_info(spark),
+        "op": args.op,
+        "wall_s": time.monotonic() - t0,
+        "result": result,
+    }, indent=2))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pds_hw2_mpi_connected_components_spark")
     p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
@@ -192,6 +242,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="execution mode; auto picks by vertex count (operators/facade.py)")
     pp.add_argument("--out", default=None)
     pp.set_defaults(fn=cmd_pagerank)
+
+    pa = sub.add_parser(
+        "analyze", help="directed analysis: scc / bowtie / anf")
+    pa.add_argument("--edges", required=True,
+                    help="edge source: parquet dir, .mtx, or .bin")
+    pa.add_argument("--op", choices=["scc", "bowtie", "anf"], required=True)
+    pa.add_argument("--trials", type=int, default=32, help="anf: FM trials")
+    pa.add_argument("--hops", type=int, default=32, help="anf: max hops")
+    pa.add_argument("--out", default=None, help="scc/bowtie: parquet sink")
+    pa.set_defaults(fn=cmd_analyze)
 
     args = p.parse_args(argv)
     try:

