@@ -129,9 +129,15 @@ def main() -> None:
              "floor has drifted off the historical band; the absolute "
              "deviation is still recorded in the artifact.",
     )
-    ap.add_argument("--stability-tol", type=float, default=0.15,
+    ap.add_argument("--stability-tol", type=float, default=0.25,
                     help="max per-key probe spread (max/min - 1) in "
-                         "stability mode")
+                         "stability mode. 0.25 matches the band protocol's "
+                         "PROBE_TOL (that gate also tolerated +-25% around "
+                         "the reference), and sits above the probe's OWN "
+                         "sampling noise — consecutive probes on a "
+                         "provably idle host spread 10-17% "
+                         "(BENCH/hunter_r6_probes.jsonl), so a tighter "
+                         "tol rejects genuinely stable windows")
     ap.add_argument("--storm-cap", type=float, default=1.0,
                     help="stability mode: reject a window outright when the "
                          "pre-probe sits more than this far off the band "
