@@ -60,6 +60,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from ..plans.adaptive import pick_n_part, shuffle_scope
 from ..plans.flat import flat_checkpoint
 from ..sources.graph_build import symmetrize
 
@@ -120,7 +121,22 @@ def anf(
     if n_trials < 1 or max_hops < 0:
         raise ValueError("anf(): n_trials >= 1 and max_hops >= 0 required")
     spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # scale-adaptive layout width + aligned loop exchanges (plans/adaptive.py)
+    n_part = pick_n_part(spark, edges.count() * (1 if directed else 2))
+    with shuffle_scope(spark, n_part):
+        return _anf_impl(spark, n_part, edges, vertices, n_trials, max_hops,
+                         directed)
+
+
+def _anf_impl(
+    spark,
+    n_part: int,
+    edges: DataFrame,
+    vertices: Optional[DataFrame],
+    n_trials: int,
+    max_hops: int,
+    directed: bool,
+) -> tuple[DataFrame, list[dict]]:
     mcols = [f"m{i}" for i in range(n_trials)]
 
     arcs = edges.select(F.col("src").cast("long").alias("src"),

@@ -40,6 +40,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.adaptive import pick_n_part, shuffle_scope
 from ..plans.flat import flat_checkpoint
 from .paths import bfs_hops
 from .scc import strongly_connected_components
@@ -66,7 +67,23 @@ def bowtie(
     arcs, no vertices) returns an empty frame with core = NULL metrics.
     """
     spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # scale-adaptive layout width + aligned exchanges (plans/adaptive.py);
+    # the nested scc/bfs_hops calls size themselves under this ceiling.
+    n_part = pick_n_part(spark, edges.count())
+    with shuffle_scope(spark, n_part):
+        return _bowtie_impl(
+            spark, n_part, edges, vertices, scc_labels, max_iter
+        )
+
+
+def _bowtie_impl(
+    spark,
+    n_part: int,
+    edges: DataFrame,
+    vertices: Optional[DataFrame],
+    scc_labels: Optional[DataFrame],
+    max_iter: int,
+) -> tuple[DataFrame, list[dict]]:
     metrics: list[dict] = []
 
     arcs = (

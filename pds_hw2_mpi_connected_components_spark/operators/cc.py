@@ -26,9 +26,10 @@ from __future__ import annotations
 import time
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from ..plans.adaptive import pick_n_part, shuffle_scope
 from ..plans.checkpoint import CheckpointStore
 from ..plans.flat import flat_checkpoint
 
@@ -130,6 +131,21 @@ def connected_components(
     AQE skew handling alone.
     """
     spark = edges.sparkSession
+    # scale-adaptive shuffle width for the star rounds (plans/adaptive.py)
+    with shuffle_scope(spark, pick_n_part(spark, edges.count() * 2)):
+        return _cc_impl(
+            spark, edges, vertices, checkpoint, max_rounds, salt_buckets
+        )
+
+
+def _cc_impl(
+    spark,
+    edges: DataFrame,
+    vertices: Optional[DataFrame],
+    checkpoint: Optional[CheckpointStore],
+    max_rounds: int,
+    salt_buckets: int,
+) -> tuple[DataFrame, list[dict]]:
     e = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -157,9 +173,18 @@ def connected_components(
         if checkpoint is not None:
             nxt = checkpoint.write("cc_edges", rnd, nxt,
                                    meta={"checksum": None})  # checksum patched below
+            cur_sum = _checksum(nxt)
         else:
-            nxt = nxt.transform(flat_checkpoint)
-        cur_sum = _checksum(nxt)
+            # checksum rides the checkpoint materialization as observed
+            # metrics — one action per round, not two (guide §1.5)
+            obs = Observation()
+            nxt = nxt.observe(
+                obs,
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            ).transform(flat_checkpoint)
+            row = obs.get
+            cur_sum = (row["n"], row["h"])
         changed = cur_sum != prev_sum
         dt = time.monotonic() - t0
         metrics.append(

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from ..plans.checkpoint import CheckpointStore
 from .csr import pack_by_dst
+from ..plans.adaptive import pick_n_part, shuffle_scope
 from ..plans.flat import flat_checkpoint
 
 MAX_ROUNDS = 512  # reference MAX_ITER (connected_components.c:103)
@@ -69,7 +70,24 @@ def connected_components_frontier(
     (labels, frontier) per round so a killed run resumes mid-iteration,
     same contract as the other two CC modes."""
     spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # scale-adaptive layout width + aligned loop exchanges (plans/adaptive.py)
+    n_part = pick_n_part(spark, edges.count() * 2)
+    with shuffle_scope(spark, n_part):
+        return _cc_frontier_impl(
+            spark, n_part, edges, vertices, max_rounds,
+            broadcast_threshold, checkpoint,
+        )
+
+
+def _cc_frontier_impl(
+    spark,
+    n_part: int,
+    edges: DataFrame,
+    vertices: Optional[DataFrame],
+    max_rounds: int,
+    broadcast_threshold: int,
+    checkpoint: Optional[CheckpointStore],
+) -> tuple[DataFrame, list[dict]]:
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

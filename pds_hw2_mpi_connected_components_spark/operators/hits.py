@@ -46,6 +46,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from ..plans.adaptive import pick_n_part, shuffle_scope
 from ..plans.flat import flat_checkpoint
 
 #: Spark jobs per iteration — the two half-step materializations; norms and
@@ -107,7 +108,20 @@ def hits(
     if max_iter < 1:
         raise ValueError(f"hits() requires max_iter >= 1, got {max_iter}")
     spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # scale-adaptive layout width + aligned loop exchanges (plans/adaptive.py)
+    n_part = pick_n_part(spark, edges.count())
+    with shuffle_scope(spark, n_part):
+        return _hits_impl(spark, n_part, edges, vertices, tol, max_iter)
+
+
+def _hits_impl(
+    spark,
+    n_part: int,
+    edges: DataFrame,
+    vertices: Optional[DataFrame],
+    tol: float,
+    max_iter: int,
+) -> tuple[DataFrame, list[dict]]:
     if vertices is None:
         vertices = (
             edges.select(F.col("src").alias("vid"))

@@ -48,6 +48,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from ..plans.adaptive import pick_n_part, shuffle_scope
 from ..sources.graph_build import symmetrize
 from ..plans.flat import flat_checkpoint
 
@@ -65,7 +66,16 @@ def k_core(
     k-core — the final entry then has ``converged: False`` and a
     RuntimeWarning is emitted."""
     spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # scale-adaptive layout width + aligned loop exchanges (plans/adaptive.py);
+    # sized on the directed input (the symmetrized table is <= 2x that)
+    n_part = pick_n_part(spark, edges.count() * 2)
+    with shuffle_scope(spark, n_part):
+        return _k_core_impl(spark, n_part, edges, k, max_iter)
+
+
+def _k_core_impl(
+    spark, n_part: int, edges: DataFrame, k: int, max_iter: int
+) -> tuple[DataFrame, list[dict]]:
     sym = (
         symmetrize(edges.select("src", "dst"))
         .repartition(n_part, "src")
@@ -145,7 +155,22 @@ def coreness(
     small rounds by construction). Pinned by
     tests/test_linkstats.py::test_coreness_deep_peel_bounded_plan."""
     spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # scale-adaptive layout width + aligned loop exchanges (plans/adaptive.py)
+    n_part = pick_n_part(spark, edges.count() * 2)
+    with shuffle_scope(spark, n_part):
+        return _coreness_impl(
+            spark, n_part, edges, vertices, max_iter, fold_every
+        )
+
+
+def _coreness_impl(
+    spark,
+    n_part: int,
+    edges: DataFrame,
+    vertices: Optional[DataFrame],
+    max_iter: int,
+    fold_every: int,
+) -> tuple[DataFrame, list[dict]]:
     sym = (
         symmetrize(edges.select("src", "dst"))
         .repartition(n_part, "src")

@@ -41,6 +41,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.adaptive import pick_n_part, shuffle_scope
 from ..plans.checkpoint import CheckpointStore
 from ..plans.flat import flat_checkpoint
 
@@ -102,7 +103,26 @@ def label_propagation(
     ago, the deterministic update rule must repeat forever, so the loop
     stops early and the final metrics row carries ``converged="2-cycle"``.
     The returned labels equal what a full run holds at that iteration."""
-    n_part = int(sym_edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    spark = sym_edges.sparkSession
+    # scale-adaptive layout width + aligned loop exchanges (plans/adaptive.py)
+    n_part = pick_n_part(spark, sym_edges.count())
+    with shuffle_scope(spark, n_part):
+        return _label_propagation_impl(
+            n_part, sym_edges, vertices, max_iter, checkpoint,
+            frontier_threshold, dirty_broadcast_threshold, frontier_fraction,
+        )
+
+
+def _label_propagation_impl(
+    n_part: int,
+    sym_edges: DataFrame,
+    vertices: Optional[DataFrame],
+    max_iter: int,
+    checkpoint: Optional[CheckpointStore],
+    frontier_threshold: int,
+    dirty_broadcast_threshold: int,
+    frontier_fraction: float,
+) -> tuple[DataFrame, list[dict]]:
     if vertices is None:
         vertices = (
             sym_edges.select(F.col("src").alias("vid"))

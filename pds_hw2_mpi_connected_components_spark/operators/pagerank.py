@@ -50,9 +50,10 @@ from __future__ import annotations
 import time
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from ..plans.adaptive import pick_n_part, shuffle_scope
 from ..plans.checkpoint import CheckpointStore
 from ..plans.flat import flat_checkpoint
 
@@ -79,7 +80,30 @@ def pagerank(
     shuffle budget (ONE edge-scale groupBy(dst)), the single combined
     delta+dangling action — is shared with the uniform path unchanged."""
     spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # scale-adaptive layout width: the loop's dominant table is the edge
+    # set; one cheap count (metadata-only for parquet sources, one narrow
+    # pass for checkpointed inputs) sizes every repartition in this call
+    # (plans/adaptive.py — guide §2.2: partitions from data, not a constant)
+    n_part = pick_n_part(spark, edges.count())
+    with shuffle_scope(spark, n_part):
+        return _pagerank_impl(
+            spark, n_part, edges, vertices, alpha, tol, max_iter,
+            checkpoint, salt_buckets, reset,
+        )
+
+
+def _pagerank_impl(
+    spark,
+    n_part: int,
+    edges: DataFrame,
+    vertices: Optional[DataFrame],
+    alpha: float,
+    tol: float,
+    max_iter: int,
+    checkpoint: Optional[CheckpointStore],
+    salt_buckets: int,
+    reset: Optional[DataFrame],
+) -> tuple[DataFrame, list[dict]]:
     if vertices is None:
         vertices = (
             edges.select(F.col("src").alias("vid"))
@@ -168,7 +192,7 @@ def pagerank(
             dangling = n_dangling * (1.0 / n)  # uniform init: no action needed
     if dangling is None:
         dangling = (
-            ranks.join(F.broadcast(dangling_v.select("vid")), "vid", "left_semi")
+            ranks.join(dangling_v.select("vid").hint("shuffle_hash"), "vid", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .collect()[0][0]
         )
@@ -220,29 +244,56 @@ def pagerank(
             # rows is n by construction (left join on the vertex table);
             # passing it avoids an extra scan. The parquet re-read is
             # unpartitioned: restore hash(vid) for the two consumers below.
+            # The delta+dangling scalars need their own action here (the
+            # parquet write cannot carry an observation).
             new_ranks = checkpoint.write(ckpt_name, it, new_ranks, rows=n)
             new_ranks = new_ranks.repartition(n_part, "vid").transform(flat_checkpoint)
-        else:
-            # flat plan every iteration (plan growth + partitioning: see
-            # module docstring). The repartition is a planner no-op while
-            # the join output is already hash(vid, n_part).
-            new_ranks = new_ranks.repartition(n_part, "vid").transform(flat_checkpoint)
-
-        # ONE action: L1 delta (convergence) + dangling mass of new_ranks
-        # (needed next iteration). Both sides hash(vid): no shuffle.
-        row = (
-            new_ranks.alias("a")
-            .join(ranks.alias("b").select("vid", F.col("rank").alias("old_rank")), "vid")
-            .join(F.broadcast(dangling_v), "vid", "left")
-            .agg(
-                F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
-                F.coalesce(
-                    F.sum(F.when(F.col("is_dangling") == 1, F.col("rank"))), F.lit(0.0)
-                ).alias("dangling"),
+            row = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b").select("vid", F.col("rank").alias("old_rank")), "vid")
+                .join(dangling_v.hint("shuffle_hash"), "vid", "left")
+                .agg(
+                    F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("is_dangling") == 1, F.col("rank"))), F.lit(0.0)
+                    ).alias("dangling"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
-        delta, dangling = row["delta"], row["dangling"]
+            delta, dangling = row["delta"], row["dangling"]
+        else:
+            # ONE action per iteration: the L1 delta (convergence) and the
+            # dangling mass of new_ranks (needed next iteration) ride the
+            # checkpoint materialization as observed metrics — no separate
+            # collect() job (guide §1.5/§2.4; the scc/anf observe pattern).
+            # The old-ranks and dangling_v joins are hash(vid)-co-partitioned
+            # flat statics: they add NO exchange, and the inner join keeps
+            # all n vids (both sides cover the full vertex set), so the
+            # emitted (vid, rank) rows are bit-identical to the plain plan.
+            obs = Observation()
+            new_ranks = (
+                new_ranks
+                .join(
+                    ranks.select(
+                        "vid", F.col("rank").alias("old_rank")
+                    ).hint("shuffle_hash"),
+                    "vid",
+                )
+                .join(dangling_v.hint("shuffle_hash"), "vid", "left")
+                .observe(
+                    obs,
+                    F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("is_dangling") == 1, F.col("rank"))),
+                        F.lit(0.0),
+                    ).alias("dangling"),
+                )
+                .select("vid", "rank")
+                .repartition(n_part, "vid")
+                .transform(flat_checkpoint)
+            )
+            m = obs.get
+            delta, dangling = m["delta"], m["dangling"]
         dt = time.monotonic() - t0
         metrics.append({"iter": it, "l1_delta": delta, "dangling": dangling, "sec": dt})
         if checkpoint is not None:

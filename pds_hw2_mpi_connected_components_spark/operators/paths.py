@@ -46,6 +46,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from ..plans.adaptive import pick_n_part, shuffle_scope
 from ..sources.graph_build import symmetrize
 from ..plans.flat import flat_checkpoint
 
@@ -71,7 +72,21 @@ def bfs_hops(
     final entry then has ``converged: False`` and a RuntimeWarning is
     emitted."""
     spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # scale-adaptive layout width + aligned loop exchanges (plans/adaptive.py)
+    n_part = pick_n_part(spark, edges.count() * (1 if directed else 2))
+    with shuffle_scope(spark, n_part):
+        return _bfs_hops_impl(spark, n_part, edges, sources, max_iter,
+                              directed)
+
+
+def _bfs_hops_impl(
+    spark,
+    n_part: int,
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iter: int,
+    directed: bool,
+) -> tuple[DataFrame, list[dict]]:
     arcs = edges.select("src", "dst")
     if not directed:
         arcs = symmetrize(arcs)

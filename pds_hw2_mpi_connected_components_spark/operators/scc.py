@@ -63,6 +63,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from ..plans.adaptive import pick_n_part, shuffle_scope
 from ..plans.flat import flat_checkpoint
 
 
@@ -83,7 +84,20 @@ def strongly_connected_components(
     MISSING from the result, the final metrics entry has
     ``converged: False``, and a RuntimeWarning is emitted."""
     spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # scale-adaptive layout width + aligned loop exchanges (plans/adaptive.py)
+    n_part = pick_n_part(spark, edges.count())
+    with shuffle_scope(spark, n_part):
+        return _scc_impl(spark, n_part, edges, vertices, max_iter, fold_every)
+
+
+def _scc_impl(
+    spark,
+    n_part: int,
+    edges: DataFrame,
+    vertices: Optional[DataFrame],
+    max_iter: int,
+    fold_every: int,
+) -> tuple[DataFrame, list[dict]]:
     arcs = (
         edges.select(F.col("src").cast("long").alias("src"),
                      F.col("dst").cast("long").alias("dst"))

@@ -54,7 +54,12 @@ _LOGICAL_RDD = "org.apache.spark.sql.execution.LogicalRDD"
 _warned = False
 
 
-def flat_checkpoint(df: DataFrame, strict: Optional[bool] = None) -> DataFrame:
+def flat_checkpoint(
+    df: DataFrame,
+    strict: Optional[bool] = None,
+    partition_cols: Optional[tuple[str, ...]] = None,
+    n_part: Optional[int] = None,
+) -> DataFrame:
     """``df.localCheckpoint(eager=True)`` with origin stats/constraints
     stripped (module docstring). Drop-in replacement for the call sites in
     iterative loops.
@@ -62,7 +67,19 @@ def flat_checkpoint(df: DataFrame, strict: Optional[bool] = None) -> DataFrame:
     ``strict`` — when True (or unset and $SPARK_GRAFT_FLAT_STRICT is a
     non-empty value other than "0"), a failed stats-strip raises
     RuntimeError instead of silently reverting to the plain checkpoint
-    whose compounding-stats hazard this module exists to close."""
+    whose compounding-stats hazard this module exists to close.
+
+    ``partition_cols``/``n_part`` — stamp ``HashPartitioning(cols, n)`` on
+    the rebuilt LogicalRDD (use :func:`flat_repart` rather than passing
+    these directly). Measured hazard #2 (pyspark 4.1.2, AQE on): when the
+    checkpointed plan is adaptive, ``Dataset.localCheckpoint`` captures
+    ``UnknownPartitioning(0)`` instead of the exchange's hash partitioning,
+    so every downstream co-partitioned join/aggregation silently re-shuffles
+    BOTH sides — with AQE enabled the whole one-exchange-per-iteration
+    design was paying ~6 exchanges per round. The stamp is sound exactly
+    when the checkpointed df ends in ``repartition(n, cols)``: that is a
+    REPARTITION_BY_NUM shuffle whose partition count AQE never rewrites,
+    so the materialized RDD's layout IS murmur3-hash(cols, n)."""
     ck = df.localCheckpoint(eager=True)
     if strict is None:
         strict = os.environ.get("SPARK_GRAFT_FLAT_STRICT", "0") not in ("", "0")
@@ -80,10 +97,44 @@ def flat_checkpoint(df: DataFrame, strict: Optional[bool] = None) -> DataFrame:
                 )
             return ck
         none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+        partitioning = node.outputPartitioning()
+        if partition_cols and n_part:
+            out = node.output()
+            by_name = {}
+            for i in range(out.size()):
+                a = out.apply(i)
+                by_name[a.name()] = a
+            exprs = [by_name[c] for c in partition_cols]
+            seq = jvm.PythonUtils.toSeq(exprs)
+            partitioning = jvm.org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+                seq, int(n_part)
+            )
+        elif partitioning.getClass().getSimpleName().startswith("UnknownPartitioning"):
+            # AQE-partitioning recovery (docstring): when the source df's
+            # plan root is repartition(n, cols) — a REPARTITION_BY_NUM
+            # exchange whose partition count AQE never rewrites — the
+            # materialized RDD's layout is exactly that node's hash
+            # partitioning, even though the adaptive physical plan reported
+            # UnknownPartitioning to Dataset.localCheckpoint. Re-stamp it.
+            src = df._jdf.queryExecution().analyzed()  # type: ignore[attr-defined]
+            if (
+                src.getClass().getSimpleName() == "RepartitionByExpression"
+                and src.optNumPartitions().isDefined()
+            ):
+                cand = src.partitioning()
+                # n >= 2 -> HashPartitioning(cols, n); n == 1 ->
+                # SinglePartition (all rows provably in one partition —
+                # satisfies every distribution, so it is the strongest
+                # sound stamp).
+                if cand.getClass().getSimpleName() in (
+                    "HashPartitioning",
+                    "SinglePartition$",
+                ):
+                    partitioning = cand
         stripped = jvm.org.apache.spark.sql.execution.LogicalRDD(
             node.output(),
             node.rdd(),
-            node.outputPartitioning(),
+            partitioning,
             node.outputOrdering(),
             node.isStreaming(),
             node.stream(),
@@ -118,3 +169,20 @@ def flat_checkpoint(df: DataFrame, strict: Optional[bool] = None) -> DataFrame:
                 stacklevel=2,
             )
         return ck
+
+
+def flat_repart(
+    df: DataFrame, n_part: int, *cols: str, strict: Optional[bool] = None
+) -> DataFrame:
+    """``repartition(n_part, *cols)`` + :func:`flat_checkpoint`, with the
+    resulting LogicalRDD stamped ``HashPartitioning(cols, n_part)`` so the
+    layout survives AQE (see flat_checkpoint docstring). This is THE way
+    iterative operators materialize loop state and statics: downstream
+    joins/aggregations keyed on ``cols`` with the same ``n_part`` are
+    exchange-free under both AQE settings."""
+    return flat_checkpoint(
+        df.repartition(n_part, *cols),
+        strict=strict,
+        partition_cols=cols,
+        n_part=n_part,
+    )
