@@ -175,9 +175,13 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         labels, metrics = strongly_connected_components(edges)
         if args.out:
             labels.write.mode("overwrite").parquet(args.out)
+        # bit_xor(xxhash64(...)) is the repo's overflow-free fingerprint
+        # convention (operators/cc.py): vid * 2654435761 + scc overflows
+        # bigint past vid ~3.47e9 and ANSI mode (Spark 4 default) would
+        # throw ARITHMETIC_OVERFLOW at the 1e11-vertex design point.
         row = labels.agg(
             F.countDistinct("scc").alias("n"),
-            F.bit_xor(F.col("vid") * 2654435761 + F.col("scc")).alias("ck"),
+            F.bit_xor(F.xxhash64("vid", "scc")).alias("ck"),
         ).collect()[0]
         result = {"strongly_connected_components": row["n"],
                   "labels_checksum": row["ck"],
@@ -189,8 +193,10 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         hist = {r["region"]: r["count"]
                 for r in regions.groupBy("region").count().collect()}
         result = {"regions": hist,
-                  "core_label": next(m["core"] for m in metrics
-                                     if m["phase"] == "core"),
+                  # empty graph: bowtie() emits no "core" phase entry ->
+                  # core_label null instead of a bare-next StopIteration
+                  "core_label": next((m["core"] for m in metrics
+                                      if m["phase"] == "core"), None),
                   "converged": bool(metrics[-1]["converged"])}
     else:  # anf
         curve_df, metrics = anf(edges, n_trials=args.trials,

@@ -56,6 +56,7 @@ converged False in the final metrics entry), the k_core/bfs_hops contract.
 
 from __future__ import annotations
 
+import os
 import time
 import warnings
 from typing import Optional
@@ -66,12 +67,86 @@ from pyspark.sql import functions as F
 from ..plans.adaptive import pick_n_part, shuffle_scope
 from ..plans.flat import flat_checkpoint
 
+#: Default bound (rows: max(alive vertices, alive arcs)) under which the
+#: remaining subgraph is collected and finished with a driver-local Tarjan
+#: pass instead of more distributed fixpoint rounds. Rationale (guide §1.2:
+#: fix the distributed algorithm first): after the giant SCC and the
+#: acyclic fringe retire, the alive remnant of a web graph is a tiny
+#: condensation tail, but every further trim/color/gather round is a full
+#: cluster barrier — measured at bench scale, HALF the operator's wall
+#: time was fixed per-round overhead spent on <100 surviving vertices.
+#: 250k rows is ~4 MB on the driver (far under any sane
+#: spark.driver.maxResultSize) and an iterative Tarjan finishes it in
+#: well under a second. Override with $SPARK_GRAFT_SCC_LOCAL_LIMIT or the
+#: ``local_threshold`` argument; 0 disables the local path entirely.
+LOCAL_LIMIT_DEFAULT = 250_000
+
+
+def _tarjan_min_labels(
+    vids: list[int], arcs: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    """Iterative Tarjan SCC over an in-memory arc list; returns
+    (vid, min vid of its SCC) for every vertex in ``vids`` — the same
+    deterministic label convention as the distributed phases."""
+    adj: dict[int, list[int]] = {v: [] for v in vids}
+    for s, d in arcs:
+        adj[s].append(d)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    out: list[tuple[int, int]] = []
+    counter = 0
+    for root in vids:
+        if root in index:
+            continue
+        # explicit DFS stack of (vertex, iterator position)
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack.add(v)
+            recursed = False
+            nbrs = adj[v]
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recursed = True
+                    break
+                elif w in on_stack:
+                    if index[w] < low[v]:
+                        low[v] = index[w]
+            if recursed:
+                continue
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                if low[v] < low[parent]:
+                    low[parent] = low[v]
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                out.extend((w, m) for w in comp)
+    return out
+
 
 def strongly_connected_components(
     edges: DataFrame,
     vertices: Optional[DataFrame] = None,
     max_iter: int = 10_000,
     fold_every: int = 64,
+    local_threshold: Optional[int] = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Returns ((vid, scc), metrics) for the directed graph ``edges``
     (src, dst). ``scc`` is the min vid of the vertex's strongly connected
@@ -80,14 +155,29 @@ def strongly_connected_components(
     ``vertices`` (optional): when given, defines the output vertex set
     (isolated vertices get scc = own vid), the coreness() convention.
     Self-loops cannot create multi-vertex SCCs and are dropped up front.
+    ``local_threshold`` (default $SPARK_GRAFT_SCC_LOCAL_LIMIT or
+    LOCAL_LIMIT_DEFAULT; 0 disables): once max(alive vertices, alive arcs)
+    is at or under this bound, the remnant is collected and finished with
+    one driver-local Tarjan pass — identical labels, none of the per-round
+    cluster barriers the condensation tail would otherwise pay.
     If ``max_iter`` total inner rounds run out, vertices still alive are
     MISSING from the result, the final metrics entry has
     ``converged: False``, and a RuntimeWarning is emitted."""
     spark = edges.sparkSession
     # scale-adaptive layout width + aligned loop exchanges (plans/adaptive.py)
     n_part = pick_n_part(spark, edges.count())
+    if local_threshold is None:
+        try:
+            local_threshold = int(
+                os.environ.get("SPARK_GRAFT_SCC_LOCAL_LIMIT", "")
+            )
+        except ValueError:
+            local_threshold = LOCAL_LIMIT_DEFAULT
     with shuffle_scope(spark, n_part):
-        return _scc_impl(spark, n_part, edges, vertices, max_iter, fold_every)
+        return _scc_impl(
+            spark, n_part, edges, vertices, max_iter, fold_every,
+            local_threshold,
+        )
 
 
 def _scc_impl(
@@ -97,12 +187,15 @@ def _scc_impl(
     vertices: Optional[DataFrame],
     max_iter: int,
     fold_every: int,
+    local_threshold: int,
 ) -> tuple[DataFrame, list[dict]]:
+    arcs_obs = Observation()
     arcs = (
         edges.select(F.col("src").cast("long").alias("src"),
                      F.col("dst").cast("long").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        .observe(arcs_obs, F.count("*").alias("n"))
         .repartition(n_part, "src")
         .transform(flat_checkpoint)
     )
@@ -114,6 +207,7 @@ def _scc_impl(
         .transform(flat_checkpoint)
     )
     n_alive = alive.count()
+    n_arcs = int(arcs_obs.get["n"] or 0)
 
     assigned: list[DataFrame] = []  # (vid, scc) batches over flat state
     assigned_acc: Optional[DataFrame] = None
@@ -128,16 +222,21 @@ def _scc_impl(
         assigned_acc = out.transform(flat_checkpoint)
         assigned = []
 
-    def _shrink_arcs(a: DataFrame, keep: DataFrame) -> DataFrame:
+    def _shrink_arcs(a: DataFrame, keep: DataFrame) -> tuple[DataFrame, int]:
         """Arcs with BOTH endpoints in ``keep`` — two semi joins
-        (k_core's shape), returned flat hash(src)."""
-        return (
+        (k_core's shape), returned flat hash(src) with the surviving arc
+        count observed on the same materializing job (feeds the
+        local-finish gate at zero extra actions)."""
+        obs = Observation()
+        df = (
             a.join(keep.hint("shuffle_hash"), a.src == keep.vid, "left_semi")
             .repartition(n_part, "dst")
             .join(keep.hint("shuffle_hash"), F.col("dst") == keep.vid, "left_semi")
+            .observe(obs, F.count("*").alias("n"))
             .repartition(n_part, "src")
             .transform(flat_checkpoint)
         )
+        return df, int(obs.get["n"] or 0)
 
     metrics: list[dict] = []
     rounds_left = max_iter
@@ -148,9 +247,34 @@ def _scc_impl(
             "sec": round(time.monotonic() - t0, 4), "converged": False,
         })
 
+    def _local_gate() -> bool:
+        return bool(local_threshold) and max(n_alive, n_arcs) <= local_threshold
+
+    def _local_finish() -> None:
+        """Driver-local Tarjan over the (bounded, gate-checked) remnant:
+        one collect of alive vids + arcs, one pass, one createDataFrame —
+        replaces O(condensation-tail) further barrier rounds with O(1)
+        actions. Labels identical by construction (min vid per SCC)."""
+        nonlocal converged, n_alive
+        t0 = time.monotonic()
+        vids = [r[0] for r in alive.select("vid").collect()]
+        pairs = [(r[0], r[1]) for r in arcs.select("src", "dst").collect()]
+        labeled = _tarjan_min_labels(vids, pairs)
+        if labeled:
+            assigned.append(
+                spark.createDataFrame(labeled, "vid long, scc long")
+                .repartition(n_part, "vid")
+            )
+        _tick("local", outer, len(vids), t0)
+        n_alive = 0
+        converged = True
+
     outer = 0
     converged = n_alive == 0
     while not converged and rounds_left > 0:
+        if _local_gate():
+            _local_finish()
+            break
         # ------------------------------------------------------ 1. trim --
         while rounds_left > 0:
             rounds_left -= 1
@@ -179,9 +303,14 @@ def _scc_impl(
             alive, n_alive = new_alive, n_kept
             if n_alive == 0:
                 break
-            arcs = _shrink_arcs(arcs, alive)
+            arcs, n_arcs = _shrink_arcs(arcs, alive)
+            if _local_gate():
+                break
         if n_alive == 0:
             converged = True
+            break
+        if _local_gate():
+            _local_finish()
             break
         if rounds_left <= 0:
             break
@@ -199,8 +328,7 @@ def _scc_impl(
                 .agg(F.min("color").alias("in_min"))
                 .select(F.col("dst").alias("vid"), "in_min")
             )
-            obs = Observation()
-            nxt = (
+            stepped = (
                 colors.join(in_min.hint("shuffle_hash"), "vid", "left")
                 .select(
                     "vid",
@@ -208,7 +336,38 @@ def _scc_impl(
                     (F.coalesce("in_min", "color") < F.col("color"))
                     .cast("long").alias("chg"),
                 )
+            )
+            # pointer jumping (VERDICT r6 #6): color(v) <- min(color(v),
+            # prev_color(color(v))). prev_color(c) is the color of an
+            # ancestor of v (c reaches v), so the invariant "color(v) is
+            # the vid of an ancestor or v itself" is preserved, the update
+            # is monotone, and the fixpoint (min over ancestors) is
+            # unchanged — but a chain-shaped condensation converges in
+            # O(log chain) rounds instead of O(chain)
+            # (tests/test_scc.py::test_scc_color_pointer_jumping_rounds).
+            # Cost: one vertex-scale join keyed on the candidate color.
+            jump = colors.select(
+                F.col("vid").alias("jvid"), F.col("color").alias("jcolor")
+            )
+            obs = Observation()
+            nxt = (
+                stepped.join(
+                    jump.hint("shuffle_hash"),
+                    stepped.color == jump.jvid,
+                    "left",
+                )
+                .select(
+                    "vid",
+                    F.least(
+                        "color", F.coalesce("jcolor", "color")
+                    ).alias("color"),
+                    (
+                        (F.col("chg") == 1)
+                        | (F.coalesce("jcolor", "color") < F.col("color"))
+                    ).cast("long").alias("chg"),
+                )
                 .observe(obs, F.coalesce(F.sum("chg"), F.lit(0)).alias("changed"))
+                .repartition(n_part, "vid")
                 .transform(flat_checkpoint)
             )
             colors = nxt.drop("chg")
@@ -280,7 +439,7 @@ def _scc_impl(
         if n_alive == 0:
             converged = True
             break
-        arcs = _shrink_arcs(arcs, alive)
+        arcs, n_arcs = _shrink_arcs(arcs, alive)
         outer += 1
 
     if not converged:
@@ -303,8 +462,16 @@ def _scc_impl(
         out = spark.createDataFrame([], "vid long, scc long")
     out = out.select("vid", F.col("scc").cast("long").alias("scc"))
     if vertices is not None:
+        universe = vertices.select(F.col("vid").cast("long").alias("vid"))
+        if not converged:
+            # unconverged contract (r6 ADVICE): vertices still alive are
+            # genuinely MISSING from the result — without this anti join
+            # the coalesce below would silently hand a still-alive member
+            # of a multi-vertex SCC its own vid as a plausible-but-wrong
+            # label.
+            universe = universe.join(alive, "vid", "left_anti")
         out = (
-            vertices.select(F.col("vid").cast("long").alias("vid"))
+            universe
             .join(out, "vid", "left")
             .select("vid", F.coalesce("scc", "vid").alias("scc"))
         )

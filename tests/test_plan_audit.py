@@ -413,12 +413,14 @@ def test_anf_jobs_per_hop(no_aqe):
 
 def test_scc_jobs_per_round(no_aqe):
     """The scc() docstring's action budget, executed: on a single directed
-    L-cycle the trim phase is one no-victim round, then EVERY color round
-    and EVERY gather round launches exactly ONE job each (convergence
-    scalars ride observe on the round's checkpoint materialization).
-    Growing the cycle by 2 adds one color round + one gather round per
-    extra vertex => the job delta between L and L+2 is exactly 4,
-    independent of L (calibrated: cycle 4/6/8 -> 17/21/25 jobs)."""
+    L-cycle (forced onto the distributed path with local_threshold=0)
+    EVERY inner round — trim, color (now with pointer jumping), gather —
+    launches exactly ONE job (convergence scalars ride observe on the
+    round's checkpoint materialization), so the job delta between two
+    cycle lengths equals the metrics-round delta exactly. (r7 rewrite:
+    pointer jumping makes color rounds O(log L), so the old fixed
+    jobs-per-extra-vertex calibration no longer applies; the per-round
+    budget — the thing worth pinning — is unchanged.)"""
     from pds_hw2_mpi_connected_components_spark.operators.scc import (
         strongly_connected_components,
     )
@@ -426,19 +428,22 @@ def test_scc_jobs_per_round(no_aqe):
     spark = no_aqe
     sc = spark.sparkContext
 
-    def jobs(L):
+    def jobs_and_rounds(L):
         cyc = spark.createDataFrame(
             [(i, (i + 1) % L) for i in range(L)], "src long, dst long"
         ).localCheckpoint(eager=True)
         group = f"scc_audit_{L}"
         sc.setJobGroup(group, group)
         try:
-            out, metrics = strongly_connected_components(cyc)
+            out, metrics = strongly_connected_components(
+                cyc, local_threshold=0)
             assert metrics[-1]["converged"] is True
         finally:
             sc.setJobGroup("scc_audit_done", "")
-        return len(sc.statusTracker().getJobIdsForGroup(group))
+        return len(sc.statusTracker().getJobIdsForGroup(group)), len(metrics)
 
-    j4, j6, j8 = jobs(4), jobs(6), jobs(8)
-    assert j6 - j4 == 4, (j4, j6)
-    assert j8 - j6 == 4, (j6, j8)
+    j4, r4 = jobs_and_rounds(4)
+    j8, r8 = jobs_and_rounds(8)
+    j12, r12 = jobs_and_rounds(12)
+    assert j8 - j4 == r8 - r4, (j4, r4, j8, r8)
+    assert j12 - j8 == r12 - r8, (j8, r8, j12, r12)

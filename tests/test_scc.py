@@ -97,7 +97,8 @@ GRAPHS = {
 @pytest.mark.parametrize("name", sorted(GRAPHS))
 def test_scc_vs_tarjan(spark, name):
     pairs = GRAPHS[name]
-    out, metrics = strongly_connected_components(make_edges(spark, pairs))
+    out, metrics = strongly_connected_components(
+        make_edges(spark, pairs), local_threshold=0)
     got = {r["vid"]: r["scc"] for r in out.collect()}
     assert got == tarjan_scc(pairs), name
     assert metrics[-1]["converged"] is True
@@ -107,7 +108,8 @@ def test_scc_random_vs_tarjan(spark):
     rng = random.Random(1234)
     n = 48
     pairs = list({(rng.randrange(n), rng.randrange(n)) for _ in range(140)})
-    out, metrics = strongly_connected_components(make_edges(spark, pairs))
+    out, metrics = strongly_connected_components(
+        make_edges(spark, pairs), local_threshold=0)
     got = {r["vid"]: r["scc"] for r in out.collect()}
     assert got == tarjan_scc(pairs)
     assert metrics[-1]["converged"] is True
@@ -139,10 +141,11 @@ def test_scc_partitioning_invariance(spark):
     n = 40
     pairs = list({(rng.randrange(n), rng.randrange(n)) for _ in range(120)})
     base = make_edges(spark, pairs)
-    a, _ = strongly_connected_components(base.repartition(3))
+    a, _ = strongly_connected_components(base.repartition(3), local_threshold=0)
     shuffled = list(pairs)
     rng.shuffle(shuffled)
-    b, _ = strongly_connected_components(make_edges(spark, shuffled).repartition(17))
+    b, _ = strongly_connected_components(
+        make_edges(spark, shuffled).repartition(17), local_threshold=0)
     la = {r["vid"]: r["scc"] for r in a.collect()}
     lb = {r["vid"]: r["scc"] for r in b.collect()}
     assert la == lb
@@ -154,7 +157,7 @@ def test_scc_nonconvergence_flagged(spark):
     pairs = [(i, i + 1) for i in range(30)]
     with pytest.warns(RuntimeWarning, match="max_iter"):
         out, metrics = strongly_connected_components(
-            make_edges(spark, pairs), max_iter=3)
+            make_edges(spark, pairs), max_iter=3, local_threshold=0)
     assert metrics[-1]["converged"] is False
     want = tarjan_scc(pairs)
     got = {r["vid"]: r["scc"] for r in out.collect()}
@@ -178,8 +181,59 @@ def test_scc_deep_fold_bounded_plan(spark):
         if i < n_cycles - 1:
             pairs.append((b, 2 * i + 2))
     out, metrics = strongly_connected_components(
-        make_edges(spark, pairs), fold_every=2)
+        make_edges(spark, pairs), fold_every=2, local_threshold=0)
     n_lines = len(out._jdf.queryExecution().analyzed().toString().splitlines())
     assert n_lines < 120, n_lines
     got = {r["vid"]: r["scc"] for r in out.collect()}
     assert got == tarjan_scc(pairs)
+
+def test_scc_local_finish_matches_distributed(spark):
+    """r7: the driver-local Tarjan finisher (operators/scc.py
+    ``local_threshold``) must produce labels identical to the pure
+    distributed decomposition, and its metrics must say it ran."""
+    rng = random.Random(7)
+    n = 60
+    pairs = list({(rng.randrange(n), rng.randrange(n)) for _ in range(170)})
+    edges = make_edges(spark, pairs)
+    dist, m_dist = strongly_connected_components(edges, local_threshold=0)
+    loc, m_loc = strongly_connected_components(edges)  # default: local path
+    assert any(m["phase"] == "local" for m in m_loc)
+    assert not any(m["phase"] == "local" for m in m_dist)
+    assert m_loc[-1]["converged"] is True
+    got_d = {r["vid"]: r["scc"] for r in dist.collect()}
+    got_l = {r["vid"]: r["scc"] for r in loc.collect()}
+    assert got_d == got_l == tarjan_scc(pairs)
+
+
+def test_scc_local_finish_mid_decomposition(spark):
+    """The local gate also fires MID-decomposition: with a threshold
+    between the full size and the remnant size, the trim/gather rounds
+    shrink the alive set under the bound and the Tarjan pass finishes the
+    tail — labels still exact."""
+    # a 16-path feeding a 3-cycle: trim peels exactly one path head per
+    # round, so the arc count crosses the threshold mid-trim and the gate
+    # must hand the remaining subgraph to the Tarjan finisher
+    path = [(i, i + 1) for i in range(16)]
+    cyc = [(16, 17), (17, 18), (18, 16)]
+    pairs = path + cyc
+    out, metrics = strongly_connected_components(
+        make_edges(spark, pairs), local_threshold=10)
+    phases = [m["phase"] for m in metrics]
+    assert "local" in phases
+    got = {r["vid"]: r["scc"] for r in out.collect()}
+    assert got == tarjan_scc(pairs)
+
+
+def test_scc_color_pointer_jumping_rounds(spark):
+    """r7 (VERDICT r6 #6): color-phase pointer jumping. A directed
+    L-cycle is one SCC whose min-vid color must propagate all the way
+    around: plain min-propagation needs L-1 color rounds; with
+    color(color(v)) jumping the distance to the fixpoint halves every
+    round, so the color phase must finish in O(log L) rounds."""
+    L = 32
+    cyc = make_edges(spark, [(i, (i + 1) % L) for i in range(L)])
+    out, metrics = strongly_connected_components(cyc, local_threshold=0)
+    color_rounds = sum(1 for m in metrics if m["phase"] == "color")
+    assert color_rounds <= 10, color_rounds  # plain propagation: 31+
+    got = {r["vid"]: r["scc"] for r in out.collect()}
+    assert got == {i: 0 for i in range(L)}

@@ -114,8 +114,9 @@ def scaling_done() -> bool:
 def run_scaling() -> None:
     # window_mode=stability: the scaling RATIO only needs the regime to
     # hold STILL across the pair (the tool's three bracketing probes must
-    # mutually agree within 15%); the host's idle floor has drifted off
-    # the absolute r3 band (probes log), which a ratio doesn't care about.
+    # mutually agree within --stability-tol, default 25% since 699d84c);
+    # the host's idle floor has drifted off the absolute r3 band (probes
+    # log), which a ratio doesn't care about.
     with open(os.path.join(HERE, "BENCH", "hunter_r6_scaling.log"), "a") as log:
         log.write(f"\n=== scaling fired {datetime.datetime.now()} ===\n")
         log.flush()
