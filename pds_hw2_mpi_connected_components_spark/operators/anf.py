@@ -195,6 +195,7 @@ def _anf_impl(
                 F.round(F.sum(F.expr(_est_sql(n_trials))), 6).alias("est"),
             )
             .select("vid", *mcols)
+            .repartition(n_part, "vid")
             .transform(flat_checkpoint)
         )
         n_changed = int(obs.get["changed"] or 0)

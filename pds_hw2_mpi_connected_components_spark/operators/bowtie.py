@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..plans.adaptive import pick_n_part, shuffle_scope
@@ -131,25 +131,63 @@ def _bowtie_impl(
     )
     rev = arcs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
 
-    def _reach(a: DataFrame, seeds: DataFrame, phase: str,
-               directed: bool = True) -> DataFrame:
+    def _sweep(a: DataFrame, seeds: DataFrame, phase: str,
+               directed: bool = True) -> tuple[DataFrame, dict]:
         out, m = bfs_hops(a, sources=seeds, max_iter=max_iter,
                           directed=directed)
-        metrics.append({"phase": phase, "rounds": len(m),
-                        "converged": bool(m[-1]["converged"])})
-        return out.select("vid")
+        return out.select("vid"), {
+            "phase": phase, "rounds": len(m),
+            "converged": bool(m[-1]["converged"]),
+        }
 
-    fwd = _reach(arcs, core, "fwd_from_core")     # core ∪ OUT ∪ deeper
-    bwd = _reach(rev, core, "bwd_to_core")        # core ∪ IN
-    weak = _reach(arcs, core, "weak_component", directed=False)
+    # The three core-seeded sweeps are independent: submit them from a
+    # small thread pool so one sweep's straggler rounds back-fill the
+    # others' idle capacity (guide §2.6). Results/metrics are joined in a
+    # fixed order, so the output is unchanged. (The nested bfs_hops
+    # shuffle_scope conf writes can interleave across threads; that can
+    # only misalign an exchange's partition count — a bounded performance
+    # effect, never a correctness one.)
+    from concurrent.futures import ThreadPoolExecutor
 
-    in_set = bwd.join(core, "vid", "left_anti").transform(flat_checkpoint)
-    out_set = fwd.join(core, "vid", "left_anti").transform(flat_checkpoint)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_fwd = pool.submit(_sweep, arcs, core, "fwd_from_core")
+        f_bwd = pool.submit(_sweep, rev, core, "bwd_to_core")
+        f_weak = pool.submit(_sweep, arcs, core, "weak_component", False)
+        fwd, m_fwd = f_fwd.result()    # core ∪ OUT ∪ deeper
+        bwd, m_bwd = f_bwd.result()    # core ∪ IN
+        weak, m_weak = f_weak.result()
+    metrics += [m_fwd, m_bwd, m_weak]
 
-    from_in = _reach(arcs, in_set, "fwd_from_in") if in_set.limit(1).count() \
-        else spark.createDataFrame([], "vid long")
-    to_out = _reach(rev, out_set, "bwd_to_out") if out_set.limit(1).count() \
-        else spark.createDataFrame([], "vid long")
+    # IN/OUT sets: the emptiness scalars ride the materializing jobs as
+    # observed metrics instead of separate limit(1).count() actions.
+    in_obs, out_obs = Observation(), Observation()
+    in_set = (
+        bwd.join(core, "vid", "left_anti")
+        .observe(in_obs, F.count("*").alias("n"))
+        .transform(flat_checkpoint)
+    )
+    out_set = (
+        fwd.join(core, "vid", "left_anti")
+        .observe(out_obs, F.count("*").alias("n"))
+        .transform(flat_checkpoint)
+    )
+    n_in, n_out = int(in_obs.get["n"] or 0), int(out_obs.get["n"] or 0)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fi = pool.submit(_sweep, arcs, in_set, "fwd_from_in") \
+            if n_in else None
+        f_to = pool.submit(_sweep, rev, out_set, "bwd_to_out") \
+            if n_out else None
+        if f_fi:
+            from_in, m_fi = f_fi.result()
+            metrics.append(m_fi)
+        else:
+            from_in = spark.createDataFrame([], "vid long")
+        if f_to:
+            to_out, m_to = f_to.result()
+            metrics.append(m_to)
+        else:
+            to_out = spark.createDataFrame([], "vid long")
 
     # assembly: all flat hash(vid) statics -> co-partitioned left joins;
     # precedence CORE > IN > OUT > (TUBE|TENDRIL within weak) > DISC

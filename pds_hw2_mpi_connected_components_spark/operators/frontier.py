@@ -43,7 +43,7 @@ from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..plans.checkpoint import CheckpointStore
@@ -148,14 +148,22 @@ def _cc_frontier_impl(
         # cheap projections/filters over this flat LogicalRDD, so the
         # edge-scale candidate computation runs exactly once per round (it
         # used to run twice — one localCheckpoint each).
+        obs = Observation()
         joined = (
-            labels.join(cand, labels.vid == cand.dst, "left")
+            labels.join(cand.hint("shuffle_hash"), labels.vid == cand.dst, "left")
             .select(
                 "vid",
                 "label",
                 F.when(F.col("cand") < F.col("label"), F.col("cand"))
                 .otherwise(F.col("label"))
                 .alias("new_label"),
+            )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("new_label") < F.col("label")).cast("long")),
+                    F.lit(0),
+                ).alias("changed"),
             )
             .repartition(n_part, "vid")
             .transform(flat_checkpoint)
@@ -164,7 +172,9 @@ def _cc_frontier_impl(
         frontier_df = joined.where(F.col("new_label") < F.col("label")).select(
             "vid", F.col("new_label").alias("label")
         )
-        frontier_rows = frontier_df.count()
+        # changed count rides the round's checkpoint as an observed metric
+        # — ONE action per round (guide §1.5)
+        frontier_rows = int(obs.get["changed"] or 0)
         labels = new_labels
         metrics.append({
             "round": rnd,

@@ -70,7 +70,9 @@ def auth_half_step(
         .agg(F.sum("w").alias("s"))
     )
     return (
-        vertices.join(a_contrib, vertices.vid == a_contrib.dst, "left")
+        vertices.join(
+            a_contrib.hint("shuffle_hash"), vertices.vid == a_contrib.dst, "left"
+        )
         .select("vid", F.coalesce("s", F.lit(0.0)).alias("auth"))
     )
 
@@ -87,7 +89,9 @@ def hub_half_step(
         .agg(F.sum("w").alias("s"))
     )
     return (
-        vertices.join(h_contrib, vertices.vid == h_contrib.src, "left")
+        vertices.join(
+            h_contrib.hint("shuffle_hash"), vertices.vid == h_contrib.src, "left"
+        )
         .select("vid", F.coalesce("s", F.lit(0.0)).alias("hub"))
     )
 

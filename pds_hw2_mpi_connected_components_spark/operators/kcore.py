@@ -76,13 +76,15 @@ def k_core(
 def _k_core_impl(
     spark, n_part: int, edges: DataFrame, k: int, max_iter: int
 ) -> tuple[DataFrame, list[dict]]:
+    sym_obs = Observation()
     sym = (
         symmetrize(edges.select("src", "dst"))
+        .observe(sym_obs, F.count("*").alias("n"))
         .repartition(n_part, "src")
         .transform(flat_checkpoint)
     )
     metrics: list[dict] = []
-    n_edges = sym.count()
+    n_edges = int(sym_obs.get["n"] or 0)
     for it in range(max_iter):
         t0 = time.monotonic()
         # sym is symmetric, so out-degree on src IS the undirected degree
@@ -91,6 +93,9 @@ def _k_core_impl(
             .where(F.col("deg") >= k)
             .select(F.col("src").alias("vid"))
         )
+        # surviving-edge count rides the checkpoint materialization as an
+        # observed metric — ONE action per round (guide §1.5)
+        obs = Observation()
         new_sym = (
             sym.join(survivors.hint("shuffle_hash"), sym.src == survivors.vid, "left_semi")
             .repartition(n_part, "dst")
@@ -99,10 +104,11 @@ def _k_core_impl(
                 F.col("dst") == survivors.vid,
                 "left_semi",
             )
+            .observe(obs, F.count("*").alias("n"))
             .repartition(n_part, "src")
             .transform(flat_checkpoint)
         )
-        new_edges = new_sym.count()
+        new_edges = int(obs.get["n"] or 0)
         dt = time.monotonic() - t0
         converged = new_edges == n_edges
         metrics.append(
@@ -176,12 +182,20 @@ def _coreness_impl(
         .repartition(n_part, "src")
         .transform(flat_checkpoint)
     )
-    # alive-degree table, hash(vid) == hash(src) partitioned
+    # alive-degree table, explicitly re-laid hash(vid) so the stamped
+    # partitioning survives AQE (plans/flat.py); its min/count scalars for
+    # round 0 ride the same materialization as observed metrics.
+    deg_obs = Observation()
     deg = (
         sym.groupBy("src").agg(F.count("*").alias("deg"))
         .select(F.col("src").alias("vid"), "deg")
+        .observe(deg_obs, F.min("deg").alias("mn"),
+                 F.count("*").alias("alive"))
+        .repartition(n_part, "vid")
         .transform(flat_checkpoint)
     )
+    row = deg_obs.get
+    mn, alive = row["mn"], int(row["alive"] or 0)
     # (vid, coreness) victim batches, lazy over each round's checkpointed
     # degree table; folded into peeled_acc every fold_every rounds so the
     # final union plan and the pinned per-round checkpoints stay bounded.
@@ -198,10 +212,9 @@ def _coreness_impl(
     converged = False
     for it in range(max_iter):
         t0 = time.monotonic()
-        row = deg.agg(
-            F.min("deg").alias("mn"), F.count("*").alias("alive")
-        ).collect()[0]
-        mn, alive = row["mn"], row["alive"]
+        # mn/alive were observed on the materialization that produced the
+        # current deg table — each peel round runs exactly ONE action (the
+        # new-degree checkpoint), down from two (guide §1.5).
         if alive == 0:
             converged = True
             metrics.append(
@@ -238,15 +251,20 @@ def _coreness_impl(
             .select(
                 "vid", (F.col("deg") - F.coalesce("loss", F.lit(0))).alias("deg")
             )
-            .observe(vc_obs, F.count("*").alias("left"))
+            .observe(vc_obs, F.min("deg").alias("mn"),
+                     F.count("*").alias("alive"))
+            .repartition(n_part, "vid")
             .transform(flat_checkpoint)
         )
-        n_victims = alive - (vc_obs.get["left"] or 0)
+        m = vc_obs.get
+        pre_alive = alive
+        n_victims = alive - int(m["alive"] or 0)
+        mn, alive = m["mn"], int(m["alive"] or 0)
         if len(peeled) >= fold_every:
             peeled_acc = _fold(peeled, peeled_acc)
             peeled = []
         metrics.append(
-            {"iter": it, "k": k, "alive": alive, "victims": n_victims,
+            {"iter": it, "k": k, "alive": pre_alive, "victims": n_victims,
              "sec": time.monotonic() - t0, "converged": False}
         )
     if not converged:

@@ -38,7 +38,7 @@ from __future__ import annotations
 import time
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..plans.adaptive import pick_n_part, shuffle_scope
@@ -181,24 +181,71 @@ def _label_propagation_impl(
                 )
         # non-dirty vertices keep their label via lp_superstep's left-join
         # coalesce — exactly what a full recompute would assign them.
+        old_labels = labels
         new_labels = lp_superstep(gather_edges, labels)
         if checkpoint is not None:
+            # durable path: the parquet write cannot carry observations —
+            # keep the separate scalar actions.
             new_labels = checkpoint.write("labelprop", it, new_labels)
-        new_labels = new_labels.repartition(n_part, "vid").transform(flat_checkpoint)
-        changed_df = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "vid")
-            .where(F.col("a.label") != F.col("b.label"))
-            .select("vid")
-            .transform(flat_checkpoint)
-        )
-        changed = changed_df.count()
-        # full-state fingerprint for the period-2 oscillation detector
-        # (new_labels is already materialized — this scans, not recomputes)
-        srow = new_labels.agg(
-            F.count("*").alias("n"), F.bit_xor(F.xxhash64("vid", "label")).alias("h")
-        ).collect()[0]
-        state = (srow["n"], srow["h"])
+            new_labels = (
+                new_labels.repartition(n_part, "vid").transform(flat_checkpoint)
+            )
+            changed_df = (
+                new_labels.alias("a")
+                .join(labels.alias("b"), "vid")
+                .where(F.col("a.label") != F.col("b.label"))
+                .select("vid")
+                .transform(flat_checkpoint)
+            )
+            changed = changed_df.count()
+            srow = new_labels.agg(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64("vid", "label")).alias("h"),
+            ).collect()[0]
+            state = (srow["n"], srow["h"])
+        else:
+            # ONE action per superstep: the changed count AND the
+            # period-2 fingerprint ride the label materialization as
+            # observed metrics (guide §1.5). The old-labels join is
+            # hash(vid)-co-partitioned (no exchange) and projected away,
+            # so the emitted (vid, label) rows are identical.
+            obs = Observation()
+            new_labels = (
+                new_labels
+                .join(
+                    old_labels.select(
+                        "vid", F.col("label").alias("_old")
+                    ).hint("shuffle_hash"),
+                    "vid",
+                )
+                .observe(
+                    obs,
+                    F.count("*").alias("n"),
+                    F.bit_xor(F.xxhash64("vid", "label")).alias("h"),
+                    F.coalesce(
+                        F.sum((F.col("label") != F.col("_old")).cast("long")),
+                        F.lit(0),
+                    ).alias("changed"),
+                )
+                .select("vid", "label")
+                .repartition(n_part, "vid")
+                .transform(flat_checkpoint)
+            )
+            srow = obs.get
+            changed = int(srow["changed"] or 0)
+            state = (srow["n"], srow["h"])
+            if 0 < changed <= changed_gate:
+                # the next superstep's frontier seed — materialized only
+                # when the frontier rewrite will actually consume it
+                changed_df = (
+                    new_labels.alias("a")
+                    .join(old_labels.alias("b").hint("shuffle_hash"), "vid")
+                    .where(F.col("a.label") != F.col("b.label"))
+                    .select("vid")
+                    .transform(flat_checkpoint)
+                )
+            else:
+                changed_df = None
         m = {"iter": it, "changed": changed, "mode": mode, "sec": time.monotonic() - t0}
         if dirty_rows is not None:
             m["dirty"] = dirty_rows

@@ -222,7 +222,7 @@ def _pagerank_impl(
             # seeded: teleport + dangling mass land on the seeds via p(v)
             seed_base = (1.0 - alpha) + alpha * dangling
             new_ranks = (
-                pvec.join(sums, pvec.vid == sums.dst, "left")
+                pvec.join(sums.hint("shuffle_hash"), pvec.vid == sums.dst, "left")
                 .select(
                     "vid",
                     (
@@ -234,7 +234,7 @@ def _pagerank_impl(
         else:
             base = (1.0 - alpha) / n + alpha * dangling / n
             new_ranks = (
-                vertices.join(sums, vertices.vid == sums.dst, "left")
+                vertices.join(sums.hint("shuffle_hash"), vertices.vid == sums.dst, "left")
                 .select(
                     "vid",
                     (F.lit(base) + F.lit(alpha) * F.coalesce("in_w", F.lit(0.0))).alias("rank"),

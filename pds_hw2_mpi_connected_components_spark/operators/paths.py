@@ -130,6 +130,7 @@ def _bfs_hops_impl(
                 obs,
                 F.sum((F.col("hops") == it).cast("long")).alias("new"),
             )
+            .repartition(n_part, "vid")
             .transform(flat_checkpoint)
         )
         n_new = int(obs.get["new"] or 0)

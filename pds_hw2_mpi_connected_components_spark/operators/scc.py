@@ -419,6 +419,7 @@ def _scc_impl(
                     F.col("r.scc").isNull().cast("long").alias("new"),
                 )
                 .observe(obs, F.coalesce(F.sum("new"), F.lit(0)).alias("new"))
+                .repartition(n_part, "vid")
                 .transform(flat_checkpoint)
             )
             n_new = int(obs.get["new"] or 0)
