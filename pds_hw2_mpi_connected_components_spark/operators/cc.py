@@ -131,8 +131,11 @@ def connected_components(
     AQE skew handling alone.
     """
     spark = edges.sparkSession
-    # scale-adaptive shuffle width for the star rounds (plans/adaptive.py)
-    with shuffle_scope(spark, pick_n_part(spark, edges.count() * 2)):
+    # scale-adaptive shuffle width for the star rounds (plans/adaptive.py);
+    # AQE stays ON here: star rounds build fresh distinct/agg shapes over a
+    # shrinking edge set each round, which AQE's coalescing genuinely helps
+    with shuffle_scope(spark, pick_n_part(spark, edges.count() * 2),
+                       disable_aqe=False):
         return _cc_impl(
             spark, edges, vertices, checkpoint, max_rounds, salt_buckets
         )

@@ -44,7 +44,7 @@ DEFAULT_ROWS_PER_PART = 64 * 1024
 
 
 @contextmanager
-def shuffle_scope(spark: SparkSession, n_part: int):
+def shuffle_scope(spark: SparkSession, n_part: int, disable_aqe: bool = True):
     """Pin ``spark.sql.shuffle.partitions`` to the operator's adaptive
     ``n_part`` for the duration of the call (restored on exit).
 
@@ -59,13 +59,18 @@ def shuffle_scope(spark: SparkSession, n_part: int):
     (any at-scale input) this is a no-op.
 
     When the adaptive layout actually shrank below the configured ceiling
-    (small-data mode), AQE is additionally disabled inside the scope: the
-    loop plans are fixed-shape (one exchange, co-partitioned statics,
-    partition count already decided), so adaptive re-planning only splits
-    each materialization into one job per query stage — measured 77 -> 27
-    jobs and ~13% wall on a 20-iteration PageRank. At scale
+    (small-data mode) AND ``disable_aqe`` is left True, AQE is
+    additionally disabled inside the scope: fixed-shape loop plans (one
+    exchange, co-partitioned statics, partition count already decided)
+    gain nothing from adaptive re-planning, which only splits each
+    materialization into one job per query stage — measured 77 -> 27 jobs
+    and ~13% wall on a 20-iteration PageRank. At scale
     (n_part == ceiling) AQE stays on — its skew-join handling matters for
-    the setup joins there.
+    the setup joins there. Operators whose round plans have genuinely
+    data-dependent shapes (the CC star rounds: fresh distincts and
+    aggregations over a shrinking edge set, no co-partitioned statics)
+    pass ``disable_aqe=False`` — AQE's runtime coalescing wins there
+    (A/B: 3.5-4.7 s vs 4.6-5.0 s on the 112k-edge pipeline graph).
 
     The conf is session-wide: concurrent queries submitted from other
     driver threads during the scope see the same value. The engine's
@@ -75,7 +80,7 @@ def shuffle_scope(spark: SparkSession, n_part: int):
     aqe_key = "spark.sql.adaptive.enabled"
     prev = spark.conf.get(key)
     prev_aqe = spark.conf.get(aqe_key)
-    shrunk = int(n_part) < int(prev)
+    shrunk = disable_aqe and int(n_part) < int(prev)
     spark.conf.set(key, str(int(n_part)))
     if shrunk:
         spark.conf.set(aqe_key, "false")
