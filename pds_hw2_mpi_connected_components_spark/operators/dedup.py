@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_md5, portable_token_hash
+from ..plans.adaptive import pick_n_part, shuffle_scope
 from ..plans.flat import flat_checkpoint
 
 P = 2147483647  # Mersenne prime 2^31-1; universal-hash modulus
@@ -111,6 +112,8 @@ def jaccard_pairs(
     RuntimeWarning is emitted if the cutoff actually dropped tokens, so
     exact-semantics callers notice they need ``max_df=None``. Default None
     keeps the operator fully lazy (the cutoff applies silently in-plan)."""
+    spark = df.sparkSession
+    n_part = pick_n_part(spark, df.count())
     toks = tokens(df, id_col, text_col) if ngram <= 1 else shingles(df, ngram, id_col, text_col)
     if max_df is not None:
         dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
@@ -133,16 +136,26 @@ def jaccard_pairs(
                 )
         toks = toks.join(dfreq.where(F.col("df") <= max_df).select("tok"), "tok")
     blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
-    t = toks.join(blocks, "id")
-    sizes = t.groupBy("id").agg(F.count("*").alias("sz"))
-    pairs = (
-        t.alias("x").join(t.alias("y"),
-                          (F.col("x.tok") == F.col("y.tok"))
-                          & (F.col("x.blk") == F.col("y.blk"))
-                          & (F.col("x.id") < F.col("y.id")))
-        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    # The blocked token table feeds BOTH sides of the pair self-join plus
+    # the size aggregation: materialize it ONCE, laid out on the pair-join
+    # key, so the tokenize/df-filter subtree runs once instead of three
+    # times and the self-join is exchange-free (guide §2.4/§8; values are
+    # unchanged — this is pure plan structure).
+    with shuffle_scope(spark, n_part):
+        t = (
+            toks.join(blocks, "id")
+            .repartition(n_part, "tok", "blk")
+            .transform(flat_checkpoint)
+        )
+        sizes = t.groupBy("id").agg(F.count("*").alias("sz"))
+        pairs = (
+            t.alias("x").join(t.alias("y"),
+                              (F.col("x.tok") == F.col("y.tok"))
+                              & (F.col("x.blk") == F.col("y.blk"))
+                              & (F.col("x.id") < F.col("y.id")))
+            .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .agg(F.count("*").alias("inter"))
+        )
     return (
         pairs.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sa"), "a")
         .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sb"), "b")
@@ -233,13 +246,22 @@ def minhash_lsh_candidates(
     larger than the cap before the self-join — see :func:`cap_hot_buckets`.
     Without it a degenerate band (all near-empty docs sharing one
     signature) makes one bucket quadratic at web scale."""
+    spark = df.sparkSession
+    n_part = pick_n_part(spark, df.count())
     sig = minhash_signatures(df, id_col, text_col)
-    bands = (
-        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.concat_ws(",", F.sort_array(F.collect_list(
-            F.format_string("%d:%d", F.col("i"), F.col("mh"))))).alias("bkey"))
-    )
+    # the band table feeds the bucket-size guard AND both sides of the
+    # candidate self-join: materialize ONCE on the collision key so the
+    # signature computation runs once and the self-join is exchange-free
+    # (values unchanged — plan structure only)
+    with shuffle_scope(spark, n_part):
+        bands = (
+            sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+            .groupBy("id", "band")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_list(
+                F.format_string("%d:%d", F.col("i"), F.col("mh"))))).alias("bkey"))
+            .repartition(n_part, "band", "bkey")
+            .transform(flat_checkpoint)
+        )
     bands = cap_hot_buckets(bands, ["band", "bkey"], max_bucket, stats,
                             "minhash_lsh_candidates")
     return (

@@ -91,12 +91,9 @@ def _from_tail(tail: str) -> dict | None:
     return out if out.get("queries") else None
 
 
-def load_run(name: str) -> tuple[str, dict]:
-    """Resolve a run by name: 'latest', 'history:<ts prefix>', or a
-    BENCH_r*.json path/basename."""
-    if name == "latest" or name.startswith("history:"):
-        want = None if name == "latest" else name.split(":", 1)[1]
-        entries = []
+def _history_entries() -> list[dict]:
+    entries = []
+    try:
         with open(os.path.join(HERE, "BENCH", "bench_history.jsonl")) as f:
             for ln in f:
                 try:
@@ -105,6 +102,47 @@ def load_run(name: str) -> tuple[str, dict]:
                     continue
                 if isinstance(e.get("result"), dict):
                     entries.append(e)
+    except OSError:
+        pass
+    return entries
+
+
+def _history_rescue(tail: str) -> tuple[str, dict] | None:
+    """r7 (VERDICT r6 #3): a driver artifact whose 2000-char tail truncates
+    BEFORE the trials dict cannot be tail-recovered — but bench.py has
+    self-recorded every run since r6, so find the history entry that IS
+    this run: same sf/cpus and the same probe scalars (the probe lands at
+    the very end of the JSON line, so it survives any truncation that
+    leaves the tail non-empty)."""
+    frag = {}
+    for key in ("probe_procs_8_sec", "probe_procs_32_sec", "cc_edges_per_sec"):
+        m = re.search(rf'"{key}":\s*([0-9.]+)', tail)
+        if m:
+            frag[key] = float(m.group(1))
+    m = re.search(r'"sf":\s*"?([0-9.]+)"?', tail)
+    sf = m.group(1) if m else None
+    m = re.search(r'"cpus":\s*([0-9]+)', tail)
+    cpus = int(m.group(1)) if m else None
+    if not frag:
+        return None
+    for e in sorted(_history_entries(), key=lambda e: e.get("ts", 0),
+                    reverse=True):
+        r = e["result"]
+        if sf is not None and str(r.get("sf")) != sf:
+            continue
+        if cpus is not None and r.get("cpus") != cpus:
+            continue
+        if all(abs(float(r.get(k, -1)) - v) < 1e-9 for k, v in frag.items()):
+            return f"history:{e.get('ts_iso')}", r
+    return None
+
+
+def load_run(name: str) -> tuple[str, dict]:
+    """Resolve a run by name: 'latest', 'history:<ts prefix>', or a
+    BENCH_r*.json / BENCH_latest.json path/basename."""
+    if name == "latest" or name.startswith("history:"):
+        want = None if name == "latest" else name.split(":", 1)[1]
+        entries = _history_entries()
         if want is not None:
             entries = [e for e in entries
                        if str(e.get("ts_iso", "")).startswith(want)]
@@ -117,10 +155,18 @@ def load_run(name: str) -> tuple[str, dict]:
         d = json.load(f)
     if isinstance(d.get("queries"), dict):
         return os.path.basename(path), d
+    # BENCH_latest.json wrapper: {"ts": ..., "git": ..., "result": {...}}
+    if isinstance(d.get("result"), dict) and \
+            isinstance(d["result"].get("queries"), dict):
+        return os.path.basename(path), d["result"]
     if isinstance(d.get("parsed"), dict) and d["parsed"] is not None:
         return os.path.basename(path), d["parsed"]
     rec = _from_tail(d.get("tail", ""))
     if rec is None:
+        hit = _history_rescue(d.get("tail", ""))
+        if hit is not None:
+            name_h, r = hit
+            return f"{os.path.basename(path)}~{name_h}", r
         raise SystemExit(f"{name}: neither parseable nor tail-recoverable")
     rec["recovered_from_tail"] = True
     return os.path.basename(path), rec
