@@ -141,9 +141,9 @@ def coreness(
     Delta-peeling (module docstring): per round, ONE shuffle over the
     current victims' incident edges plus co-partitioned joins to update the
     alive-degree table — never a full-survivor re-aggregation after round 0.
-    The victim count rides the degree materialization as an observed metric,
-    so each round runs exactly TWO Spark jobs (the min/count scalar agg and
-    the new-degree localCheckpoint).
+    The victim count AND the next round's min/count scalars ride the degree
+    materialization as observed metrics, so each round runs exactly ONE
+    Spark action (the new-degree localCheckpoint; r7 — previously two).
 
     ``k_core(edges, k)``'s survivor set equals
     ``coreness(edges).where(coreness >= k)`` (tested in

@@ -12,9 +12,11 @@ delta < tol (matches the numpy dense oracle in tests to allclose 1e-6).
 
 Shuffle budget per iteration (the 100 TB design point): exactly ONE
 edge-scale shuffle — the groupBy(dst) contribution sum, with map-side
-partial aggregation — and ONE action (a co-partitioned join of new vs old
-ranks computing the L1 delta AND the next iteration's dangling mass in a
-single pass). Enforced by tests/test_plan_audit.py. How:
+partial aggregation — and ONE action (the new-ranks checkpoint
+materialization, r7: the L1 delta and the next iteration's dangling mass
+ride it as ``DataFrame.observe`` metrics over co-partitioned flat joins
+that are projected away, so no separate collect job exists).
+Enforced by tests/test_plan_audit.py. How:
 
 - every loop-static table is a FLAT, pre-partitioned LogicalRDD:
   ``repartition(key).transform(flat_checkpoint)``. Two measured pyspark

@@ -39,19 +39,36 @@ operators:
 Per-inner-round budget (the 100 TB design point): ONE edge-scale exchange
 over alive/frontier-incident arcs (min/neighbor aggregation or the
 candidate repartition, map-side combined) + co-partitioned joins against
-flat hash(vid) statics; every convergence scalar rides
-``DataFrame.observe`` on the round's single materializing job — the only
-standalone actions are one vertex count at entry and one per outer-round
-arc rebuild. All loop state is ``flat_checkpoint``-materialized
-(plans/flat.py: plain localCheckpoints compound size stats geometrically
-across iterate-vs-iterate joins and livelock the driver by iteration ~20).
-Assigned-SCC batches fold through a flat checkpoint every ``fold_every``
-outer rounds (the coreness accumulator bound, VERDICT r5 #4).
+flat hash(vid) statics (color rounds add one vertex-scale pointer-jump
+join, below); every convergence scalar rides ``DataFrame.observe`` on the
+round's single materializing job — the only standalone actions are one
+vertex count at entry and one per outer-round arc rebuild. All loop state
+is ``flat_checkpoint``-materialized (plans/flat.py: plain localCheckpoints
+compound size stats geometrically across iterate-vs-iterate joins and
+livelock the driver by iteration ~20). Assigned-SCC batches fold through a
+flat checkpoint every ``fold_every`` outer rounds (the coreness
+accumulator bound, VERDICT r5 #4).
 
-Worst case: a condensation that is one long chain retires O(chain) outer
-rounds (the known FW-BW/coloring bound); ``max_iter`` caps TOTAL inner
-rounds across all phases, and exhaustion is loud (RuntimeWarning +
-converged False in the final metrics entry), the k_core/bfs_hops contract.
+Round-7 optimizations (OPTIMIZATION_r07.md):
+
+- **Color pointer jumping** (VERDICT r6 #6): each color round additionally
+  applies ``color(v) <- min(color(v), prev_color(color(v)))`` — still an
+  ancestor's vid, monotone, same fixpoint — so a chain-shaped condensation
+  colors in O(log chain) rounds instead of O(chain).
+- **Driver-local Tarjan finisher** (``local_threshold``): once
+  max(alive vertices, alive arcs) fits a bounded threshold (default 250k
+  rows ≈ 4 MB of driver transfer), the remnant is collected and finished
+  in one Tarjan pass — identical labels, none of the O(condensation-tail)
+  cluster barriers the tail rounds would pay. On web graphs the remnant
+  after the giant SCC and the trimmed fringe retire is exactly this
+  shape; measured at bench scale HALF the operator wall time was fixed
+  per-round overhead on <100 surviving vertices.
+
+Worst case: an adversarial condensation larger than ``local_threshold``
+still retires O(chain) OUTER rounds (one pivot SCC per color class per
+round); ``max_iter`` caps TOTAL inner rounds across all phases, and
+exhaustion is loud (RuntimeWarning + converged False in the final metrics
+entry), the k_core/bfs_hops contract.
 """
 
 from __future__ import annotations
