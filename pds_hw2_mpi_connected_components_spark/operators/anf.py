@@ -154,22 +154,32 @@ def _anf_impl(
         verts = verts.union(
             vertices.select(F.col("vid").cast("long").alias("vid"))
         )
+    bits_expr = " + ".join(f"bit_count(m{i})" for i in range(n_trials))
     obs0 = Observation()
     masks = (
         verts.distinct()
         .select("vid", *[F.expr(_init_mask_sql(t)).alias(c)
                          for t, c in enumerate(mcols)])
         .observe(obs0,
-                 F.round(F.sum(F.expr(_est_sql(n_trials))), 6).alias("est"))
+                 F.round(F.sum(F.expr(_est_sql(n_trials))), 6).alias("est"),
+                 F.coalesce(F.sum(F.expr(bits_expr)), F.lit(0)).alias("bits"))
         .repartition(n_part, "vid")
         .transform(flat_checkpoint)
     )
     curve = [float(obs0.get["est"] or 0.0)]
+    prev_bits = int(obs0.get["bits"] or 0)
     metrics: list[dict] = [
         {"hop": 0, "n_est": curve[0], "changed": None, "sec": 0.0,
          "converged": False}
     ]
 
+    # convergence via total set-bit count (``bits_expr``, observed on every
+    # materialization): FM bits are only ever OR-ed in, so the popcount is
+    # strictly monotone and "no new bits this hop" IS the sketch fixpoint —
+    # this replaces the old 32-column old-vs-new self-join whose only
+    # purpose was the changed flag (r7; one join and half the per-hop
+    # expression tree removed; the emitted (hop, n_est) rows are
+    # bit-identical, metrics' "changed" now counts newly set sketch bits).
     converged = False
     for hop in range(1, max_hops + 1):
         t0 = time.monotonic()
@@ -183,22 +193,20 @@ def _anf_impl(
             .groupBy("vid")
             .agg(*[F.expr(f"bit_or({c})").alias(c) for c in mcols])
         )
-        old = masks.select("vid", *[F.col(c).alias(f"o_{c}") for c in mcols])
-        chg = " OR ".join(f"m{i} != o_m{i}" for i in range(n_trials))
         obs = Observation()
         nxt = (
-            merged.join(old.hint("shuffle_hash"), "vid")
-            .withColumn("chg", F.expr(f"CASE WHEN {chg} THEN 1L ELSE 0L END"))
+            merged
             .observe(
                 obs,
-                F.coalesce(F.sum("chg"), F.lit(0)).alias("changed"),
+                F.coalesce(F.sum(F.expr(bits_expr)), F.lit(0)).alias("bits"),
                 F.round(F.sum(F.expr(_est_sql(n_trials))), 6).alias("est"),
             )
-            .select("vid", *mcols)
             .repartition(n_part, "vid")
             .transform(flat_checkpoint)
         )
-        n_changed = int(obs.get["changed"] or 0)
+        bits = int(obs.get["bits"] or 0)
+        n_changed = bits - prev_bits  # newly set sketch bits; 0 <=> fixpoint
+        prev_bits = bits
         est = float(obs.get["est"] or 0.0)
         masks = nxt
         curve.append(est)
